@@ -1,0 +1,60 @@
+"""Test configuration.
+
+Forces JAX onto a virtual 8-device CPU mesh so multi-chip sharding paths are
+exercised without TPU hardware. Set ASTC_TPU_TEST_REAL=1 to run against the
+real backend instead.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+if not os.environ.get("ASTC_TPU_TEST_REAL"):
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+REF_DIR = os.environ.get("ASTC_REF_DIR", "/root/reference")
+REF_BUILD = os.environ.get("ASTC_REF_BUILD", "/tmp/refbuild")
+ORACLE_JSON = "/tmp/ref_tables.json"
+
+
+def _repo_root():
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="session")
+def oracle():
+    """Reference-derived table dump, as parsed JSON (skip if unavailable)."""
+    if not os.path.exists(ORACLE_JSON):
+        tool = "/tmp/dump_ref_tables"
+        if not os.path.exists(tool):
+            script = os.path.join(_repo_root(), "tools", "build_ref_dump.sh")
+            if not (os.path.isdir(REF_DIR) and os.path.isdir(REF_BUILD)):
+                pytest.skip("reference oracle unavailable")
+            try:
+                subprocess.run([script], check=True, capture_output=True)
+            except (subprocess.CalledProcessError, FileNotFoundError):
+                pytest.skip("cannot build reference oracle")
+        try:
+            subprocess.run([tool, ORACLE_JSON], check=True, capture_output=True)
+        except (subprocess.CalledProcessError, FileNotFoundError):
+            pytest.skip("cannot run reference oracle")
+    with open(ORACLE_JSON) as f:
+        return json.load(f)
+
+
+@pytest.fixture(scope="session")
+def ref_binary():
+    """Path to the reference astcenc CLI binary (skip if unavailable)."""
+    path = os.path.join(REF_BUILD, "Source", "astcenc-native")
+    if not os.path.exists(path):
+        pytest.skip("reference binary unavailable")
+    return path
