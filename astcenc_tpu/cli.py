@@ -1,0 +1,276 @@
+"""astcenc-compatible command line front-end.
+
+Accepts the reference CLI's mode/flag grammar
+(reference: Source/astcenccli_toplevel.cpp:121-138, 464-1227) so the
+reference's functional test recipes port directly:
+
+    python -m astcenc_tpu.cli -cl in.png out.astc 6x6 -medium
+    python -m astcenc_tpu.cli -dl in.astc out.png
+    python -m astcenc_tpu.cli -tl in.png out.png 6x6 -fast
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+from . import api
+from .config import Flags, Profile, Quality, Swizzle
+from .io import astc_file, image_io
+from .utils import metrics
+
+_MODES = {
+    # operation: c=compress d=decompress t=test(roundtrip); profile suffix
+    "-cl": ("c", Profile.LDR), "-cs": ("c", Profile.LDR_SRGB),
+    "-ch": ("c", Profile.HDR_RGB_LDR_A), "-cH": ("c", Profile.HDR),
+    "-dl": ("d", Profile.LDR), "-ds": ("d", Profile.LDR_SRGB),
+    "-dh": ("d", Profile.HDR_RGB_LDR_A), "-dH": ("d", Profile.HDR),
+    "-tl": ("t", Profile.LDR), "-ts": ("t", Profile.LDR_SRGB),
+    "-th": ("t", Profile.HDR_RGB_LDR_A), "-tH": ("t", Profile.HDR),
+}
+
+_PRESETS = {
+    "-fastest": Quality.FASTEST, "-fast": Quality.FAST,
+    "-medium": Quality.MEDIUM, "-thorough": Quality.THOROUGH,
+    "-verythorough": Quality.VERYTHOROUGH, "-exhaustive": Quality.EXHAUSTIVE,
+}
+
+_SWZ = {"r": 0, "g": 1, "b": 2, "a": 3, "0": 4, "1": 5, "z": 6}
+
+
+class CliError(SystemExit):
+    def __init__(self, msg):
+        print(f"ERROR: {msg}", file=sys.stderr)
+        super().__init__(1)
+
+
+def _parse_block(s: str):
+    parts = s.lower().split("x")
+    if len(parts) == 2:
+        return int(parts[0]), int(parts[1]), 1
+    if len(parts) == 3:
+        return int(parts[0]), int(parts[1]), int(parts[2])
+    raise CliError(f"invalid block size {s}")
+
+
+def _parse_swizzle(s: str):
+    if len(s) != 4 or any(c not in _SWZ for c in s):
+        raise CliError(f"invalid swizzle {s}")
+    return tuple(_SWZ[c] for c in s)
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "-help", "--help"):
+        _usage()
+        return 0
+    if argv[0] in ("-v", "-version", "--version"):
+        from . import __version__
+        print(f"astcenc-tpu v{__version__}")
+        return 0
+
+    mode = argv[0]
+    if mode not in _MODES:
+        raise CliError(f"unknown operation {mode}")
+    op, profile = _MODES[mode]
+
+    if len(argv) < 3:
+        raise CliError("missing input/output paths")
+    in_path, out_path = argv[1], argv[2]
+    rest = argv[3:]
+
+    opts = _parse_options(rest, need_block=op in ("c", "t"))
+
+    if op == "d":
+        return _do_decompress(profile, in_path, out_path, opts)
+    if op == "c":
+        return _do_compress(profile, in_path, out_path, opts)
+    return _do_roundtrip(profile, in_path, out_path, opts)
+
+
+def _parse_options(rest, need_block):
+    opts = {
+        "block": None, "quality": None, "flags": 0, "swz_encode": (0, 1, 2, 3),
+        "swz_decode": (0, 1, 2, 3), "silent": False, "yflip": False,
+        "jobs": 0, "repeats": 1, "overrides": {}, "dblimit": None,
+        "a_radius": 0,
+    }
+    i = 0
+    if need_block:
+        if not rest or rest[0].startswith("-"):
+            raise CliError("missing block size")
+        opts["block"] = _parse_block(rest[0])
+        if not rest[1:] or rest[1] not in _PRESETS:
+            raise CliError("missing quality preset")
+        opts["quality"] = _PRESETS[rest[1]]
+        i = 2
+
+    ov = opts["overrides"]
+    while i < len(rest):
+        a = rest[i]
+
+        def arg(n=1):
+            nonlocal i
+            if i + n >= len(rest) + 0 and i + n > len(rest) - 1 + 1:
+                pass
+            if i + n > len(rest) - 1:
+                raise CliError(f"{a} requires an argument")
+            return rest[i + n]
+
+        if a == "-silent":
+            opts["silent"] = True
+        elif a == "-yflip":
+            opts["yflip"] = True
+        elif a == "-j":
+            opts["jobs"] = int(arg()); i += 1
+        elif a == "-repeats":
+            opts["repeats"] = int(arg()); i += 1
+        elif a == "-normal":
+            opts["flags"] |= Flags.MAP_NORMAL
+            opts["swz_encode"] = (0, 0, 0, 1)  # rrrg
+            opts["swz_decode"] = (0, 3, 6, 5)  # raz1
+        elif a == "-rgbm":
+            opts["flags"] |= Flags.MAP_RGBM
+            ov["rgbm_m_scale"] = float(arg()); i += 1
+        elif a == "-perceptual":
+            opts["flags"] |= Flags.USE_PERCEPTUAL
+        elif a == "-decode_unorm8":
+            opts["flags"] |= Flags.USE_DECODE_UNORM8
+        elif a == "-esw":
+            opts["swz_encode"] = _parse_swizzle(arg()); i += 1
+        elif a == "-dsw":
+            opts["swz_decode"] = _parse_swizzle(arg()); i += 1
+        elif a == "-cw":
+            ov["cw_r_weight"] = float(arg(1))
+            ov["cw_g_weight"] = float(arg(2))
+            ov["cw_b_weight"] = float(arg(3))
+            ov["cw_a_weight"] = float(arg(4))
+            i += 4
+        elif a == "-a":
+            opts["a_radius"] = int(arg())
+            opts["flags"] |= Flags.USE_ALPHA_WEIGHT
+            i += 1
+        elif a == "-blockmodelimit":
+            ov["tune_block_mode_limit"] = int(arg()); i += 1
+        elif a == "-partitioncountlimit":
+            ov["tune_partition_count_limit"] = int(arg()); i += 1
+        elif a == "-2partitionindexlimit":
+            ov["tune_2partition_index_limit"] = int(arg()); i += 1
+        elif a == "-3partitionindexlimit":
+            ov["tune_3partition_index_limit"] = int(arg()); i += 1
+        elif a == "-4partitionindexlimit":
+            ov["tune_4partition_index_limit"] = int(arg()); i += 1
+        elif a == "-2partitioncandidatelimit":
+            ov["tune_2partitioning_candidate_limit"] = int(arg()); i += 1
+        elif a == "-3partitioncandidatelimit":
+            ov["tune_3partitioning_candidate_limit"] = int(arg()); i += 1
+        elif a == "-4partitioncandidatelimit":
+            ov["tune_4partitioning_candidate_limit"] = int(arg()); i += 1
+        elif a == "-2partitionlimitfactor":
+            ov["tune_2partition_early_out_limit_factor"] = float(arg()); i += 1
+        elif a == "-3partitionlimitfactor":
+            ov["tune_3partition_early_out_limit_factor"] = float(arg()); i += 1
+        elif a == "-2planelimitcorrelation":
+            ov["tune_2plane_early_out_limit_correlation"] = float(arg()); i += 1
+        elif a == "-refinementlimit":
+            ov["tune_refinement_limit"] = int(arg()); i += 1
+        elif a == "-candidatelimit":
+            ov["tune_candidate_limit"] = int(arg()); i += 1
+        elif a == "-dblimit":
+            opts["dblimit"] = float(arg()); i += 1
+        elif a == "-zdim":
+            i += 1  # handled by 3D loader (not yet wired)
+        elif a == "-mpsnr":
+            opts["mpsnr"] = (int(arg(1)), int(arg(2))); i += 2
+        else:
+            raise CliError(f"unknown option {a}")
+        i += 1
+    return opts
+
+
+def _make_context(profile, block, quality, opts):
+    cfg = api.config_init(profile, block[0], block[1], block[2],
+                          quality, opts["flags"])
+    for k, v in opts["overrides"].items():
+        setattr(cfg, k, v)
+    if opts["dblimit"] is not None and profile in (Profile.LDR,
+                                                   Profile.LDR_SRGB):
+        cfg.tune_db_limit = opts["dblimit"]
+    cfg.a_scale_radius = opts["a_radius"]
+    return api.context_alloc(cfg)
+
+
+def _load_for_encode(path, opts):
+    data, is_hdr, ncomp = image_io.load_image(path)
+    if opts["yflip"]:
+        data = data[::-1]
+    return data, is_hdr, ncomp
+
+
+def _do_compress(profile, in_path, out_path, opts):
+    data, _, _ = _load_for_encode(in_path, opts)
+    ctx = _make_context(profile, opts["block"], opts["quality"], opts)
+    tstart = time.perf_counter()
+    blocks = api.compress_image(ctx, data, opts["swz_encode"])
+    ttotal = time.perf_counter() - tstart
+    h, w = data.shape[:2]
+    astc_file.write_astc(out_path, ctx.block_dims, (w, h, 1), blocks)
+    if not opts["silent"]:
+        mt = (w * h) / max(ttotal, 1e-9) / 1e6
+        print(f"Coding time: {ttotal:.4f} s ({mt:.2f} MT/s)")
+    return 0
+
+
+def _do_decompress(profile, in_path, out_path, opts):
+    bd, idim, blocks = astc_file.read_astc(in_path)
+    ctx = api.context_alloc(api.config_init(
+        profile, bd[0], bd[1], bd[2], Quality.MEDIUM,
+        opts["flags"] | Flags.DECOMPRESS_ONLY))
+    ext = os.path.splitext(out_path)[1].lower()
+    out_type = "u8" if ext in (".png", ".tga", ".bmp", ".jpg", ".jpeg") else "f32"
+    img = api.decompress_image(ctx, blocks, idim[0], idim[1], idim[2],
+                               out_type=out_type, swizzle=opts["swz_decode"])
+    data = img[0]
+    if opts["yflip"]:
+        data = data[::-1]
+    if out_type == "u8":
+        image_io.save_image(out_path, data)
+    else:
+        image_io.save_image(out_path, data.astype(np.float32))
+    return 0
+
+
+def _do_roundtrip(profile, in_path, out_path, opts):
+    data, _, _ = _load_for_encode(in_path, opts)
+    ctx = _make_context(profile, opts["block"], opts["quality"], opts)
+    tstart = time.perf_counter()
+    blocks = api.compress_image(ctx, data, opts["swz_encode"])
+    ttotal = time.perf_counter() - tstart
+    h, w = data.shape[:2]
+    out_type = "u8" if profile in (Profile.LDR, Profile.LDR_SRGB) else "f32"
+    img = api.decompress_image(ctx, np.asarray(blocks), w, h, 1,
+                               out_type=out_type, swizzle=opts["swz_decode"])
+    image_io.save_image(out_path, img[0] if not opts["yflip"] else img[0][::-1])
+
+    if not opts["silent"]:
+        ref = data.astype(np.float32) / 255.0 if data.dtype == np.uint8 else data
+        dec = img[0]
+        p = metrics.psnr(ref, dec)
+        mt = (w * h) / max(ttotal, 1e-9) / 1e6
+        print(f"PSNR (LDR-RGB): {p:.4f} dB")
+        print(f"Coding time: {ttotal:.4f} s ({mt:.2f} MT/s)")
+    return 0
+
+
+def _usage():
+    print("astcenc-tpu: TPU-native ASTC codec\n"
+          "usage: -cl/-cs/-ch/-cH <in> <out.astc> <WxH> <-preset> [opts]\n"
+          "       -dl/-ds/-dh/-dH <in.astc> <out>\n"
+          "       -tl/-ts/-th/-tH <in> <out> <WxH> <-preset> [opts]")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

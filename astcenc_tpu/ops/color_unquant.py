@@ -1,0 +1,461 @@
+"""Batched decoder-side color endpoint reconstruction.
+
+Reimplements the 16 ASTC endpoint formats as vectorized jnp integer ops over
+a flat batch of (block x partition) endpoint value sets. All 16 format
+decoders run on the whole batch and the right one is selected per element —
+the TPU-native replacement for the reference's per-block switch dispatch
+(reference: Source/astcenc_color_unquantize.cpp:844-1023).
+
+Formats (reference: astcenc_internal.h:179-197):
+   0 FMT_LUMINANCE             4 FMT_LUMINANCE_ALPHA       8 FMT_RGB
+   1 FMT_LUMINANCE_DELTA       5 FMT_LUMINANCE_ALPHA_DELTA 9 FMT_RGB_DELTA
+   2 FMT_HDR_LUMINANCE_LARGE   6 FMT_RGB_SCALE             10 FMT_RGB_SCALE_ALPHA
+   3 FMT_HDR_LUMINANCE_SMALL   7 FMT_HDR_RGB_SCALE         11 FMT_HDR_RGB
+  12 FMT_RGBA                 13 FMT_RGBA_DELTA            14 FMT_HDR_RGB_LDR_ALPHA
+  15 FMT_HDR_RGBA
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# Profile enum mirrors astcenc.h
+PRF_LDR_SRGB = 0
+PRF_LDR = 1
+PRF_HDR_RGB_LDR_A = 2
+PRF_HDR = 3
+
+FMT_LUMINANCE = 0
+FMT_LUMINANCE_DELTA = 1
+FMT_HDR_LUMINANCE_LARGE_RANGE = 2
+FMT_HDR_LUMINANCE_SMALL_RANGE = 3
+FMT_LUMINANCE_ALPHA = 4
+FMT_LUMINANCE_ALPHA_DELTA = 5
+FMT_RGB_SCALE = 6
+FMT_HDR_RGB_SCALE = 7
+FMT_RGB = 8
+FMT_RGB_DELTA = 9
+FMT_RGB_SCALE_ALPHA = 10
+FMT_HDR_RGB = 11
+FMT_RGBA = 12
+FMT_RGBA_DELTA = 13
+FMT_HDR_RGB_LDR_ALPHA = 14
+FMT_HDR_RGBA = 15
+
+_HDR_RGB_FORMATS = (FMT_HDR_LUMINANCE_LARGE_RANGE, FMT_HDR_LUMINANCE_SMALL_RANGE,
+                    FMT_HDR_RGB_SCALE, FMT_HDR_RGB, FMT_HDR_RGB_LDR_ALPHA,
+                    FMT_HDR_RGBA)
+_ALPHA_HDR_DEFAULT_FORMATS = (FMT_HDR_LUMINANCE_LARGE_RANGE,
+                              FMT_HDR_LUMINANCE_SMALL_RANGE,
+                              FMT_HDR_RGB_SCALE, FMT_HDR_RGB)
+
+
+def _uncontract(c):
+    """Reverse blue contraction on RGB lanes (reference: :35-41)."""
+    bc = (c + c[..., 2:3]) >> 1
+    return jnp.concatenate([bc[..., :2], c[..., 2:]], axis=-1)
+
+
+def _bit_transfer_signed(a, b):
+    """bit_transfer_signed(input1=a, input0=b) per reference vecmathlib.
+
+    a gets sign-extended from its top transferred bit; b receives the bit.
+    Returns (a', b'). Matches astcenc_vecmathlib_common_4.h semantics:
+      bt0 = (b >> 1) | (a & 0x80); a = sign_extend6(a & 0x3F)... see tests.
+    """
+    b2 = (b >> 1) | (a & 0x80)
+    a2 = (a & 0x3F).astype(jnp.int32)
+    a2 = jnp.where((a2 & 0x20) != 0, a2 - 0x40, a2)
+    return a2, b2
+
+
+def _rgba_unpack(v0, v1):
+    """Direct RGBA with blue-contract swap (reference: :105-121)."""
+    sum0 = v0[..., 0] + v0[..., 1] + v0[..., 2]
+    sum1 = v1[..., 0] + v1[..., 1] + v1[..., 2]
+    swap = sum0 > sum1
+    u0 = _uncontract(v0)
+    u1 = _uncontract(v1)
+    out0 = jnp.where(swap[..., None], u1, v0)
+    out1 = jnp.where(swap[..., None], u0, v1)
+    return out0, out1
+
+
+def _rgba_delta_unpack(v0, v1):
+    """Delta RGBA with bit transfer and blue contraction (reference: :61-82)."""
+    d, base = _bit_transfer_signed(v1, v0)
+    rgb_sum = d[..., 0] + d[..., 1] + d[..., 2]
+    hi = d + base
+    swap = rgb_sum < 0
+    u0 = _uncontract(base)
+    u1 = _uncontract(hi)
+    out0 = jnp.where(swap[..., None], u1, base)
+    out1 = jnp.where(swap[..., None], u0, hi)
+    return jnp.clip(out0, 0, 255), jnp.clip(out1, 0, 255)
+
+
+def _hdr_rgbo_unpack(v):
+    """HDR RGB + scale-offset (reference: :310-489)."""
+    v0, v1, v2, v3 = v[..., 0], v[..., 1], v[..., 2], v[..., 3]
+    modeval = ((v0 & 0xC0) >> 6) | (((v1 & 0x80) >> 7) << 2) | (((v2 & 0x80) >> 7) << 3)
+
+    not_c = (modeval & 0xC) != 0xC
+    not_f = modeval != 0xF
+    majcomp = jnp.where(not_c, modeval >> 2, jnp.where(not_f, modeval & 3, 0))
+    mode = jnp.where(not_c, modeval & 3, jnp.where(not_f, 4, 5))
+
+    red = v0 & 0x3F
+    green = v1 & 0x1F
+    blue = v2 & 0x1F
+    scale = v3 & 0x1F
+
+    bit0 = (v1 >> 6) & 1
+    bit1 = (v1 >> 5) & 1
+    bit2 = (v2 >> 6) & 1
+    bit3 = (v2 >> 5) & 1
+    bit4 = (v3 >> 7) & 1
+    bit5 = (v3 >> 6) & 1
+    bit6 = (v3 >> 5) & 1
+
+    ohcomp = 1 << mode
+
+    def on(mask):
+        return (ohcomp & mask) != 0
+
+    green = green | jnp.where(on(0x30), bit0 << 6, 0)
+    green = green | jnp.where(on(0x3A), bit1 << 5, 0)
+    blue = blue | jnp.where(on(0x30), bit2 << 6, 0)
+    blue = blue | jnp.where(on(0x3A), bit3 << 5, 0)
+    scale = scale | jnp.where(on(0x3D), bit6 << 5, 0)
+    scale = scale | jnp.where(on(0x2D), bit5 << 6, 0)
+    scale = scale | jnp.where(on(0x04), bit4 << 7, 0)
+    red = red | jnp.where(on(0x3B), bit4 << 6, 0)
+    red = red | jnp.where(on(0x04), bit3 << 6, 0)
+    red = red | jnp.where(on(0x10), bit5 << 7, 0)
+    red = red | jnp.where(on(0x0F), bit2 << 7, 0)
+    red = red | jnp.where(on(0x05), bit1 << 8, 0)
+    red = red | jnp.where(on(0x0A), bit0 << 8, 0)
+    red = red | jnp.where(on(0x05), bit0 << 9, 0)
+    red = red | jnp.where(on(0x02), bit6 << 9, 0)
+    red = red | jnp.where(on(0x01), bit3 << 10, 0)
+    red = red | jnp.where(on(0x02), bit5 << 10, 0)
+
+    shamts = jnp.array([1, 1, 2, 3, 4, 5], dtype=jnp.int32)
+    shamt = shamts[mode]
+    red = red << shamt
+    green = green << shamt
+    blue = blue << shamt
+    scale = scale << shamt
+
+    is_m5 = mode == 5
+    green = jnp.where(is_m5, green, red - green)
+    blue = jnp.where(is_m5, blue, red - blue)
+
+    # majcomp swaps
+    r, g, b = red, green, blue
+    red = jnp.where(majcomp == 1, g, jnp.where(majcomp == 2, b, r))
+    green = jnp.where(majcomp == 1, r, g)
+    blue = jnp.where(majcomp == 2, r, b)
+
+    red0 = jnp.maximum(red - scale, 0)
+    green0 = jnp.maximum(green - scale, 0)
+    blue0 = jnp.maximum(blue - scale, 0)
+    red = jnp.maximum(red, 0)
+    green = jnp.maximum(green, 0)
+    blue = jnp.maximum(blue, 0)
+
+    e0 = jnp.stack([red0 << 4, green0 << 4, blue0 << 4,
+                    jnp.full_like(red0, 0x7800)], axis=-1)
+    e1 = jnp.stack([red << 4, green << 4, blue << 4,
+                    jnp.full_like(red, 0x7800)], axis=-1)
+    return e0, e1
+
+
+def _hdr_rgb_unpack(v):
+    """HDR RGB direct (reference: :498-679)."""
+    v0, v1, v2 = v[..., 0], v[..., 1], v[..., 2]
+    v3, v4, v5 = v[..., 3], v[..., 4], v[..., 5]
+
+    modeval = ((v1 & 0x80) >> 7) | (((v2 & 0x80) >> 7) << 1) | (((v3 & 0x80) >> 7) << 2)
+    majcomp = ((v4 & 0x80) >> 7) | (((v5 & 0x80) >> 7) << 1)
+
+    # majcomp == 3 direct-mode outputs
+    d0 = jnp.stack([v0 << 8, v2 << 8, (v4 & 0x7F) << 9,
+                    jnp.full_like(v0, 0x7800)], axis=-1)
+    d1 = jnp.stack([v1 << 8, v3 << 8, (v5 & 0x7F) << 9,
+                    jnp.full_like(v0, 0x7800)], axis=-1)
+
+    a = v0 | ((v1 & 0x40) << 2)
+    b0 = v2 & 0x3F
+    b1 = v3 & 0x3F
+    c = v1 & 0x3F
+    dq0 = v4 & 0x7F
+    dq1 = v5 & 0x7F
+
+    dbits_tab = jnp.array([7, 6, 7, 6, 5, 6, 5, 6], dtype=jnp.int32)
+    dbits = dbits_tab[modeval]
+
+    bit0 = (v2 >> 6) & 1
+    bit1 = (v3 >> 6) & 1
+    bit2 = (v4 >> 6) & 1
+    bit3 = (v5 >> 6) & 1
+    bit4 = (v4 >> 5) & 1
+    bit5 = (v5 >> 5) & 1
+
+    ohmod = 1 << modeval
+
+    def on(mask):
+        return (ohmod & mask) != 0
+
+    a = a | jnp.where(on(0xA4), bit0 << 9, 0)
+    a = a | jnp.where(on(0x8), bit2 << 9, 0)
+    a = a | jnp.where(on(0x50), bit4 << 9, 0)
+    a = a | jnp.where(on(0x50), bit5 << 10, 0)
+    a = a | jnp.where(on(0xA0), bit1 << 10, 0)
+    a = a | jnp.where(on(0xC0), bit2 << 11, 0)
+
+    c = c | jnp.where(on(0x4), bit1 << 6, 0)
+    c = c | jnp.where(on(0xE8), bit3 << 6, 0)
+    c = c | jnp.where(on(0x20), bit2 << 7, 0)
+
+    b0 = b0 | jnp.where(on(0x5B), bit0 << 6, 0)
+    b1 = b1 | jnp.where(on(0x5B), bit1 << 6, 0)
+    b0 = b0 | jnp.where(on(0x12), bit2 << 7, 0)
+    b1 = b1 | jnp.where(on(0x12), bit3 << 7, 0)
+
+    dq0 = dq0 | jnp.where(on(0xAF), bit4 << 5, 0)
+    dq1 = dq1 | jnp.where(on(0xAF), bit5 << 5, 0)
+    dq0 = dq0 | jnp.where(on(0x5), bit2 << 6, 0)
+    dq1 = dq1 | jnp.where(on(0x5), bit3 << 6, 0)
+
+    # Sign extend d0/d1 from dbits
+    sx = 32 - dbits
+    dq0 = ((dq0 << sx).astype(jnp.int32)) >> sx
+    dq1 = ((dq1 << sx).astype(jnp.int32)) >> sx
+
+    val_shamt = (modeval >> 1) ^ 3
+    a = a << val_shamt
+    b0 = b0 << val_shamt
+    b1 = b1 << val_shamt
+    c = c << val_shamt
+    dq0 = dq0 << val_shamt
+    dq1 = dq1 << val_shamt
+
+    red1 = a
+    green1 = a - b0
+    blue1 = a - b1
+    red0 = a - c
+    green0 = a - b0 - c - dq0
+    blue0 = a - b1 - c - dq1
+
+    red0 = jnp.clip(red0, 0, 4095)
+    green0 = jnp.clip(green0, 0, 4095)
+    blue0 = jnp.clip(blue0, 0, 4095)
+    red1 = jnp.clip(red1, 0, 4095)
+    green1 = jnp.clip(green1, 0, 4095)
+    blue1 = jnp.clip(blue1, 0, 4095)
+
+    # majcomp swaps (only 0..2 reach here)
+    r0 = jnp.where(majcomp == 1, green0, jnp.where(majcomp == 2, blue0, red0))
+    g0 = jnp.where(majcomp == 1, red0, green0)
+    bl0 = jnp.where(majcomp == 2, red0, blue0)
+    r1 = jnp.where(majcomp == 1, green1, jnp.where(majcomp == 2, blue1, red1))
+    g1 = jnp.where(majcomp == 1, red1, green1)
+    bl1 = jnp.where(majcomp == 2, red1, blue1)
+
+    e0 = jnp.stack([r0 << 4, g0 << 4, bl0 << 4,
+                    jnp.full_like(r0, 0x7800)], axis=-1)
+    e1 = jnp.stack([r1 << 4, g1 << 4, bl1 << 4,
+                    jnp.full_like(r1, 0x7800)], axis=-1)
+
+    is_direct = (majcomp == 3)[..., None]
+    return jnp.where(is_direct, d0, e0), jnp.where(is_direct, d1, e1)
+
+
+def _hdr_alpha_unpack(v6, v7):
+    """HDR alpha (reference: :776-820)."""
+    modeval = ((v6 >> 7) & 1) | ((v7 >> 6) & 2)
+    v6m = v6 & 0x7F
+    v7m = v7 & 0x7F
+
+    # Mode 3: direct
+    d0 = v6m << 5
+    d1 = v7m << 5
+
+    # Modes 0-2: base + delta
+    v6b = v6m | ((v7m << (modeval + 1)) & 0x780)
+    v7b = v7m & (0x3F >> modeval)
+    v7b = v7b ^ (32 >> modeval)
+    v7b = v7b - (32 >> modeval)
+    v6b = v6b << (4 - modeval)
+    v7b = v7b << (4 - modeval)
+    v7b = jnp.clip(v6b + v7b, 0, 0xFFF)
+
+    out0 = jnp.where(modeval == 3, d0, v6b)
+    out1 = jnp.where(modeval == 3, d1, v7b)
+    return out0 << 4, out1 << 4
+
+
+def unpack_color_endpoints(profile: int, fmt: jnp.ndarray, values: jnp.ndarray):
+    """Unpack a batch of color endpoints.
+
+    Args:
+      profile: static decode profile (PRF_*).
+      fmt: (...,) int endpoint format per element.
+      values: (..., 8) int packed color values.
+
+    Returns:
+      (ep0, ep1, rgb_hdr, alpha_hdr): endpoints (..., 4) int in UNORM16/fp16
+      integer space, and per-element HDR flags.
+    """
+    v = [values[..., i] for i in range(8)]
+    zero = jnp.zeros_like(v[0])
+    n255 = jnp.full_like(v[0], 255)
+
+    outs0 = [None] * 16
+    outs1 = [None] * 16
+
+    # 0: luminance direct
+    outs0[0] = jnp.stack([v[0], v[0], v[0], n255], -1)
+    outs1[0] = jnp.stack([v[1], v[1], v[1], n255], -1)
+
+    # 1: luminance delta
+    l0 = (v[0] >> 2) | (v[1] & 0xC0)
+    l1 = jnp.minimum(l0 + (v[1] & 0x3F), 255)
+    outs0[1] = jnp.stack([l0, l0, l0, n255], -1)
+    outs1[1] = jnp.stack([l1, l1, l1, n255], -1)
+
+    # 2: HDR luminance large range
+    y0a = v[0] << 4
+    y1a = v[1] << 4
+    y0b = (v[1] << 4) + 8
+    y1b = (v[0] << 4) - 8
+    ge = v[1] >= v[0]
+    y0 = jnp.where(ge, y0a, y0b)
+    y1 = jnp.where(ge, y1a, y1b)
+    h78 = jnp.full_like(v[0], 0x7800)
+    outs0[2] = jnp.stack([y0 << 4, y0 << 4, y0 << 4, h78], -1)
+    outs1[2] = jnp.stack([y1 << 4, y1 << 4, y1 << 4, h78], -1)
+
+    # 3: HDR luminance small range
+    hi_mode = (v[0] & 0x80) != 0
+    y0h = ((v[1] & 0xE0) << 4) | ((v[0] & 0x7F) << 2)
+    y1h = (v[1] & 0x1F) << 2
+    y0l = ((v[1] & 0xF0) << 4) | ((v[0] & 0x7F) << 1)
+    y1l = (v[1] & 0xF) << 1
+    y0 = jnp.where(hi_mode, y0h, y0l)
+    y1 = jnp.where(hi_mode, y1h, y1l)
+    y1 = jnp.minimum(y1 + y0, 0xFFF)
+    outs0[3] = jnp.stack([y0 << 4, y0 << 4, y0 << 4, h78], -1)
+    outs1[3] = jnp.stack([y1 << 4, y1 << 4, y1 << 4, h78], -1)
+
+    # 4: luminance alpha direct
+    outs0[4] = jnp.stack([v[0], v[0], v[0], v[2]], -1)
+    outs1[4] = jnp.stack([v[1], v[1], v[1], v[3]], -1)
+
+    # 5: luminance alpha delta (reference: :264-301)
+    lum0 = v[0] | ((v[1] & 0x80) << 1)
+    alp0 = v[2] | ((v[3] & 0x80) << 1)
+    lum1 = v[1] & 0x7F
+    alp1 = v[3] & 0x7F
+    lum1 = jnp.where((lum1 & 0x40) != 0, lum1 - 0x80, lum1)
+    alp1 = jnp.where((alp1 & 0x40) != 0, alp1 - 0x80, alp1)
+    lum0 = lum0 >> 1
+    lum1 = lum1 >> 1
+    alp0 = alp0 >> 1
+    alp1 = alp1 >> 1
+    lum1 = jnp.clip(lum1 + lum0, 0, 255)
+    alp1 = jnp.clip(alp1 + alp0, 0, 255)
+    outs0[5] = jnp.stack([lum0, lum0, lum0, alp0], -1)
+    outs1[5] = jnp.stack([lum1, lum1, lum1, alp1], -1)
+
+    # 6: RGB scale
+    in0 = jnp.stack([v[0], v[1], v[2], zero], -1)
+    sc0 = (in0 * v[3][..., None]) >> 8
+    outs1[6] = jnp.concatenate([in0[..., :3], n255[..., None]], -1)
+    outs0[6] = jnp.concatenate([sc0[..., :3], n255[..., None]], -1)
+
+    # 7: HDR RGB scale
+    outs0[7], outs1[7] = _hdr_rgbo_unpack(values)
+
+    # 8: RGB direct
+    e0, e1 = _rgba_unpack(jnp.stack([v[0], v[2], v[4], zero], -1),
+                          jnp.stack([v[1], v[3], v[5], zero], -1))
+    outs0[8] = jnp.concatenate([e0[..., :3], n255[..., None]], -1)
+    outs1[8] = jnp.concatenate([e1[..., :3], n255[..., None]], -1)
+
+    # 9: RGB delta
+    e0, e1 = _rgba_delta_unpack(jnp.stack([v[0], v[2], v[4], zero], -1),
+                                jnp.stack([v[1], v[3], v[5], zero], -1))
+    outs0[9] = jnp.concatenate([e0[..., :3], n255[..., None]], -1)
+    outs1[9] = jnp.concatenate([e1[..., :3], n255[..., None]], -1)
+
+    # 10: RGB scale + alpha (reference: :155-167)
+    in0 = jnp.stack([v[0], v[1], v[2], v[4]], -1)
+    out1_10 = jnp.concatenate([in0[..., :3], v[5][..., None]], -1)
+    sc = (in0 * v[3][..., None]) >> 8
+    outs0[10] = jnp.concatenate([sc[..., :3], in0[..., 3:4]], -1)
+    outs1[10] = out1_10
+
+    # 11: HDR RGB
+    outs0[11], outs1[11] = _hdr_rgb_unpack(values)
+
+    # 12: RGBA direct
+    outs0[12], outs1[12] = _rgba_unpack(
+        jnp.stack([v[0], v[2], v[4], v[6]], -1),
+        jnp.stack([v[1], v[3], v[5], v[7]], -1))
+
+    # 13: RGBA delta
+    outs0[13], outs1[13] = _rgba_delta_unpack(
+        jnp.stack([v[0], v[2], v[4], v[6]], -1),
+        jnp.stack([v[1], v[3], v[5], v[7]], -1))
+
+    # 14: HDR RGB + LDR alpha
+    e0, e1 = _hdr_rgb_unpack(values)
+    outs0[14] = jnp.concatenate([e0[..., :3], v[6][..., None]], -1)
+    outs1[14] = jnp.concatenate([e1[..., :3], v[7][..., None]], -1)
+
+    # 15: HDR RGBA
+    a0, a1 = _hdr_alpha_unpack(v[6], v[7])
+    outs0[15] = jnp.concatenate([e0[..., :3], a0[..., None]], -1)
+    outs1[15] = jnp.concatenate([e1[..., :3], a1[..., None]], -1)
+
+    sel = [fmt[..., None] == f for f in range(16)]
+    ep0 = jnp.select(sel, outs0)
+    ep1 = jnp.select(sel, outs1)
+
+    rgb_hdr = jnp.isin(fmt, jnp.array(_HDR_RGB_FORMATS))
+    alpha_hdr = fmt == FMT_HDR_RGBA
+    alpha_hdr_default = jnp.isin(fmt, jnp.array(_ALPHA_HDR_DEFAULT_FORMATS))
+
+    # Default alpha for alpha_hdr_default formats
+    if profile == PRF_HDR:
+        defa = jnp.full_like(ep0[..., 3], 0x7800)
+        alpha_hdr = alpha_hdr | alpha_hdr_default
+    else:
+        defa = jnp.full_like(ep0[..., 3], 0x00FF)
+    ep0 = ep0.at[..., 3].set(jnp.where(alpha_hdr_default, defa, ep0[..., 3]))
+    ep1 = ep1.at[..., 3].set(jnp.where(alpha_hdr_default, defa, ep1[..., 3]))
+
+    err_color = jnp.array([0xFF, 0x00, 0xFF, 0xFF], dtype=ep0.dtype)
+    if profile == PRF_LDR:
+        is_err = (rgb_hdr | alpha_hdr)[..., None]
+        ep0 = jnp.where(is_err, err_color, ep0) * 257
+        ep1 = jnp.where(is_err, err_color, ep1) * 257
+        rgb_hdr = jnp.zeros_like(rgb_hdr)
+        alpha_hdr = jnp.zeros_like(alpha_hdr)
+    elif profile == PRF_LDR_SRGB:
+        is_err = (rgb_hdr | alpha_hdr)[..., None]
+        ep0 = jnp.where(is_err, err_color, ep0)
+        ep1 = jnp.where(is_err, err_color, ep1)
+        ep0 = (ep0 << 8) | 0x80
+        ep1 = (ep1 << 8) | 0x80
+        rgb_hdr = jnp.zeros_like(rgb_hdr)
+        alpha_hdr = jnp.zeros_like(alpha_hdr)
+    else:
+        hdr_lanes = jnp.stack([rgb_hdr, rgb_hdr, rgb_hdr, alpha_hdr], -1)
+        scale = jnp.where(hdr_lanes, 1, 257)
+        ep0 = ep0 * scale
+        ep1 = ep1 * scale
+
+    return ep0, ep1, rgb_hdr, alpha_hdr

@@ -19,7 +19,30 @@ if not os.environ.get("ASTC_TPU_TEST_REAL"):
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption("--runslow", action="store_true", default=False,
+                     help="run slow golden tests")
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: slow golden test")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="needs --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
 
 REF_DIR = os.environ.get("ASTC_REF_DIR", "/root/reference")
 REF_BUILD = os.environ.get("ASTC_REF_BUILD", "/tmp/refbuild")
