@@ -10,3 +10,14 @@ Public API mirrors the reference's astcenc.h surface:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+import jax as _jax
+
+# The batched codec graphs are large; persistent compilation caching is
+# essential for interactive use. Opt out with ASTC_JAX_CACHE=none.
+_cache = _os.environ.get("ASTC_JAX_CACHE", "/tmp/jax_cache")
+if _cache and _cache != "none":
+    _jax.config.update("jax_compilation_cache_dir", _cache)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

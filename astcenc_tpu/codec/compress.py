@@ -1,0 +1,363 @@
+"""Batched block compression driver.
+
+TPU redesign of compress_block (reference: Source/astcenc_compress_symbolic.
+cpp:1162-1456): the reference's per-block early-exit control flow becomes
+masked batched trials — every block in the batch flows through the same
+fixed trial sequence, with per-block "finished" lanes frozen once their
+quality target is hit. Selection thresholds and trial ordering mirror the
+reference so (modulo float associativity) the same encodings win.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Flags, Profile
+from ..ops import color_unquant as cuq
+from . import partition_search, physical, trial
+
+ERROR_CALC_DEFAULT = 1e30
+TUNE_MIN_SEARCH_MODE0 = 0.85
+QUANT_32 = 11
+
+
+class _CfgStatic:
+    """Hashable static snapshot of the tuning config for jit."""
+
+    def __init__(self, cfg):
+        self.profile = int(cfg.profile)
+        self.flags = int(cfg.flags)
+        self.channel_weights = (cfg.cw_r_weight, cfg.cw_g_weight,
+                                cfg.cw_b_weight, cfg.cw_a_weight)
+        self.tune_candidate_limit = int(cfg.tune_candidate_limit)
+        self.tune_refinement_limit = int(cfg.tune_refinement_limit)
+        self.tune_db_limit = float(cfg.tune_db_limit)
+        self.tune_mse_overshoot = float(cfg.tune_mse_overshoot)
+        self.tune_partition_count_limit = int(cfg.tune_partition_count_limit)
+        self.tune_2partition_index_limit = int(cfg.tune_2partition_index_limit)
+        self.tune_3partition_index_limit = int(cfg.tune_3partition_index_limit)
+        self.tune_4partition_index_limit = int(cfg.tune_4partition_index_limit)
+        self.tune_2partitioning_candidate_limit = int(
+            cfg.tune_2partitioning_candidate_limit)
+        self.tune_3partitioning_candidate_limit = int(
+            cfg.tune_3partitioning_candidate_limit)
+        self.tune_4partitioning_candidate_limit = int(
+            cfg.tune_4partitioning_candidate_limit)
+        self.tune_2partition_early_out_limit_factor = float(
+            cfg.tune_2partition_early_out_limit_factor)
+        self.tune_3partition_early_out_limit_factor = float(
+            cfg.tune_3partition_early_out_limit_factor)
+        self.tune_2plane_early_out_limit_correlation = float(
+            cfg.tune_2plane_early_out_limit_correlation)
+        self.tune_search_mode0_enable = float(cfg.tune_search_mode0_enable)
+
+    def _key(self):
+        return tuple(sorted(self.__dict__.items()))
+
+    def __hash__(self):
+        return hash(self._key())
+
+    def __eq__(self, other):
+        return isinstance(other, _CfgStatic) and self._key() == other._key()
+
+
+def make_block_state(texels, channel_weight):
+    """Build the per-block state dict from (N, T, 4) texels."""
+    data_min = jnp.min(texels, axis=1)
+    data_max = jnp.max(texels, axis=1)
+    data_mean = jnp.mean(texels, axis=1)
+    gray_t = ((texels[..., 0] == texels[..., 1])
+              & (texels[..., 0] == texels[..., 2]))
+    grayscale = jnp.all(gray_t, axis=1)
+    default_alpha = 65535.0
+    alpha1 = ((data_min[:, 3] == default_alpha)
+              & (data_max[:, 3] == default_alpha))
+    uses_alpha = data_min[:, 3] != data_max[:, 3]
+    return {
+        "texels": texels,
+        "data_min": data_min,
+        "data_max": data_max,
+        "data_mean": data_mean,
+        "grayscale": grayscale,
+        "uses_alpha": uses_alpha,
+        "is_luminance": grayscale & alpha1,
+        "is_luminancealpha": grayscale & ~alpha1,
+        "default_alpha": default_alpha,
+    }
+
+
+def _lowest_correlation(texels, channel_weight):
+    """prepare_block_statistics (reference: :1047-1159)."""
+    cw = jnp.array(channel_weight, jnp.float32)
+    weight = jnp.sum(cw) / 4.0
+    T = texels.shape[1]
+    wsum = weight * T
+
+    s = jnp.sum(texels, axis=1) * weight                    # (N, 4)
+    var = jnp.einsum("ntc,ntd->ncd", texels, texels) * weight
+    rpt = 1.0 / jnp.maximum(wsum, 1e-7)
+    var = var - s[:, :, None] * (s[:, None, :] * rpt)
+
+    d = jnp.sqrt(jnp.clip(
+        var[:, jnp.arange(4), jnp.arange(4)], 0.0, None))
+    denom = d[:, :, None] * d[:, None, :]
+    corr = var / jnp.where(denom > 0, denom, 1.0)
+    corr = jnp.where(jnp.isnan(corr) | (denom == 0), 1.0, corr)
+
+    iu = np.triu_indices(4, k=1)
+    vals = jnp.abs(corr[:, iu[0], iu[1]])
+    return jnp.min(vals, axis=1)
+
+
+def compress_symbolic_batch(dtables_key, enc_key, cfgs: _CfgStatic, texels):
+    """Compress a batch of blocks to physical form. texels: (N, T, 4)."""
+    et: trial.EncoderTables = enc_key.tables
+    dt = dtables_key.tables
+    cfg = cfgs
+    profile = cfg.profile
+    u8_mask = (profile == int(Profile.LDR_SRGB)
+               or bool(cfg.flags & Flags.USE_DECODE_UNORM8))
+    cw = cfg.channel_weights
+    bsd = enc_key.bsd
+
+    N, T, _ = texels.shape
+    st = make_block_state(texels, cw)
+
+    # --- Constant color detection --------------------------------------------
+    is_const = jnp.all(st["data_min"] == st["data_max"], axis=1)
+    tex0 = texels[:, 0, :]
+    const_color = jnp.floor(jnp.clip(tex0 / 65535.0, 0.0, 1.0) * 65535.0
+                            + 0.5).astype(jnp.int32)
+
+    # --- Error thresholds ------------------------------------------------------
+    ews = float(sum(cw)) * T
+    l_scale = jnp.where(st["is_luminance"], 1.0 / 1.5, 1.0)
+    la_scale = jnp.where(st["is_luminancealpha"], 1.0 / 1.05, 1.0)
+    error_threshold = cfg.tune_db_limit * ews * l_scale * la_scale
+    overshoot = 1.0 / cfg.tune_mse_overshoot
+
+    scb = trial.empty_scb(N, T)
+    scb["finished"] = is_const
+    quant_limit = jnp.full((N,), QUANT_32, jnp.int32)
+    best_err_pcount = [jnp.full((N,), jnp.float32(ERROR_CALC_DEFAULT))
+                       for _ in range(4)]
+
+    pot1 = jnp.zeros((N, T), jnp.int32)
+    counts1 = jnp.zeros((N, 4), jnp.int32).at[:, 0].set(T)
+    pindex1 = jnp.zeros((N,), jnp.int32)
+
+    # --- 1 partition, 1 plane trials ------------------------------------------
+    start_trial = 1
+    if (cfg.tune_search_mode0_enable >= TUNE_MIN_SEARCH_MODE0
+            and bsd.dim[2] == 1):
+        start_trial = 0
+
+    errorval_mult = (overshoot, 1.0)
+    for i in range(start_trial, 2):
+        scb, errv = trial.compress_trial_1plane(
+            st, et, cfg, profile, u8_mask, pot1, counts1, pindex1, 1,
+            only_always=(i == 0),
+            threshold=error_threshold * errorval_mult[i] * overshoot,
+            quant_limit=quant_limit, scb=scb)
+
+        # Track winner's weight quant for later trials
+        won = ~scb["block_type_error"]
+        pk = jnp.asarray(dt.block_mode_packed_index)[
+            jnp.clip(scb["block_mode"], 0, 2047)]
+        wq = jnp.asarray(dt.bm_quant)[jnp.clip(pk, 0, dt.bm_quant.shape[0] - 1)]
+        quant_limit = jnp.where(won, wq, quant_limit)
+
+        best_err_pcount[0] = jnp.minimum(best_err_pcount[0], errv)
+        hit = errv < error_threshold * errorval_mult[i]
+        scb["finished"] = scb["finished"] | hit
+
+    # --- 1 partition, 2 plane trials --------------------------------------------
+    if et.m2_quant.shape[0] > 0:
+        lowest_correl = _lowest_correlation(texels, cw)
+        skip_two_plane = (lowest_correl
+                          > cfg.tune_2plane_early_out_limit_correlation)
+        stopped2p = jnp.zeros((N,), bool)
+        for comp in (3, 2, 1, 0):
+            active = ~skip_two_plane & ~stopped2p & ~scb["finished"]
+            if comp != 3:
+                active = active & ~st["grayscale"]
+            const_ch = st["data_min"][:, comp] == st["data_max"][:, comp]
+            active = active & ~const_ch
+
+            scb, errv = trial.compress_trial_2planes(
+                st, et, cfg, profile, u8_mask, comp,
+                threshold=error_threshold * overshoot,
+                quant_limit=quant_limit, scb=scb, active_in=active)
+
+            errv = jnp.where(active, errv, jnp.float32(ERROR_CALC_DEFAULT))
+            stopped2p = stopped2p | (active
+                                     & (errv > best_err_pcount[0] * 1.85))
+            hit = active & (errv < error_threshold)
+            scb["finished"] = scb["finished"] | hit
+
+    # --- Multi partition trials -------------------------------------------------
+    req_idx = (cfg.tune_2partition_index_limit,
+               cfg.tune_3partition_index_limit,
+               cfg.tune_4partition_index_limit)
+    req_trials = (cfg.tune_2partitioning_candidate_limit,
+                  cfg.tune_3partitioning_candidate_limit,
+                  cfg.tune_4partitioning_candidate_limit)
+    exit_factors = (0.0, cfg.tune_2partition_early_out_limit_factor,
+                    cfg.tune_3partition_early_out_limit_factor, 0.0)
+
+    for pc in range(2, cfg.tune_partition_count_limit + 1):
+        ntrials = min(req_trials[pc - 2], req_idx[pc - 2])
+        parts = bsd.partitionings[pc]
+        if parts["count_selected"] == 0 or ntrials == 0:
+            continue
+        seeds, valid = partition_search.find_best_partition_candidates(
+            st, bsd, cw, pc, req_idx[pc - 2], ntrials)
+
+        pot_all = jnp.asarray(parts["partition_of_texel"].astype(np.int32))
+        ptc_all = jnp.asarray(parts["partition_texel_count"].astype(np.int32))
+        pk_map = jnp.asarray(parts["packed_index"].astype(np.int32))
+
+        best_prev = best_err_pcount[pc - 2]
+        for ti in range(min(ntrials, seeds.shape[1])):
+            seed = seeds[:, ti]
+            ok = valid[:, ti]
+            row = jnp.clip(pk_map[jnp.clip(seed, 0, 1023)], 0,
+                           pot_all.shape[0] - 1)
+            pot = pot_all[row]
+            counts = ptc_all[row]
+
+            # Freeze invalid lanes by pretending they are finished
+            saved_fin = scb["finished"]
+            scb["finished"] = scb["finished"] | ~ok
+            scb, errv = trial.compress_trial_1plane(
+                st, et, cfg, profile, u8_mask, pot, counts, seed, pc,
+                only_always=False,
+                threshold=error_threshold * overshoot,
+                quant_limit=quant_limit, scb=scb)
+            scb["finished"] = saved_fin | (scb["finished"] & ok)
+
+            errv = jnp.where(ok, errv, jnp.float32(ERROR_CALC_DEFAULT))
+            best_err_pcount[pc - 1] = jnp.minimum(best_err_pcount[pc - 1],
+                                                  errv)
+            # Inner early-outs (reference: :1400-1418)
+            scale_in = exit_factors[pc - 1] * 1.85
+            stop_in = best_err_pcount[pc - 1] > (best_prev * scale_in)
+            hit = errv < error_threshold
+            scb["finished"] = scb["finished"] | (stop_in & ok) | (hit & ok)
+
+        stop_out = best_err_pcount[pc - 1] > (best_prev * exit_factors[pc - 1])
+        scb["finished"] = scb["finished"] | stop_out
+
+    # --- Fallback + constant blocks ---------------------------------------------
+    fallback = scb["block_type_error"] & ~is_const
+    scb["const_u16"] = is_const | fallback
+    scb["const_f16"] = jnp.zeros((N,), bool)
+    scb["constant_color"] = const_color
+    # Avoid packing garbage for const/fallback lanes
+    safe_mode = jnp.asarray(int(et.m1_mode_index[0]))
+    err_lane = scb["block_type_error"]
+    scb["block_mode"] = jnp.where(err_lane, safe_mode, scb["block_mode"])
+    scb["quant_mode"] = jnp.where(err_lane, 4, scb["quant_mode"])
+    scb["partition_count"] = jnp.where(err_lane, 1, scb["partition_count"])
+
+    return physical.symbolic_to_physical_batch(dt, scb)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _compress_jit(dtables_key, enc_key, cfgs, texels):
+    return compress_symbolic_batch(dtables_key, enc_key, cfgs, texels)
+
+
+class EncKey:
+    """Hashable wrapper carrying (EncoderTables, bsd) as a static jit arg."""
+
+    __slots__ = ("tables", "bsd", "_id")
+
+    def __init__(self, tables, bsd):
+        self.tables = tables
+        self.bsd = bsd
+        self._id = id(tables)
+
+    def __hash__(self):
+        return self._id
+
+    def __eq__(self, other):
+        return isinstance(other, EncKey) and other._id == self._id
+
+
+def compress_image(ctx, image, swizzle=(0, 1, 2, 3)):
+    """Compress an image array to (N, 16) blocks, raster order.
+
+    Reference flow: astcenc_compress_image (astcenc_entry.cpp:1113) +
+    load_image_block (astcenc_image.cpp:162-343).
+    """
+    from .decode_tables import build_decode_tables
+    from .trial import build_encoder_tables
+
+    if not hasattr(ctx, "_enc_key"):
+        ctx._enc_key = EncKey(build_encoder_tables(ctx.bsd), ctx.bsd)
+    cfgs = _CfgStatic(ctx.config)
+
+    bx, by, bz = ctx.block_dims
+    image = np.asarray(image)
+    if image.ndim == 3:
+        image = image[None]  # (Z, H, W, C)
+    Z, H, W, C = image.shape
+
+    if C < 4:
+        pad = np.zeros(image.shape[:-1] + (4 - C,), image.dtype)
+        fill = 255 if image.dtype == np.uint8 else 1.0
+        if C == 3:
+            pad[...] = fill
+        image = np.concatenate([image, pad], axis=-1)
+
+    image = _apply_load_swizzle(image, swizzle)
+
+    if image.dtype == np.uint8:
+        data = image.astype(np.float32) * (65535.0 / 255.0)
+    else:
+        data = np.clip(image.astype(np.float32), 0.0, 1.0) * 65535.0
+
+    nx = (W + bx - 1) // bx
+    ny = (H + by - 1) // by
+    nz = (Z + bz - 1) // bz
+
+    # Edge-clamp pad then reorder into (N, T, 4)
+    px, py, pz = nx * bx, ny * by, nz * bz
+    idx_x = np.minimum(np.arange(px), W - 1)
+    idx_y = np.minimum(np.arange(py), H - 1)
+    idx_z = np.minimum(np.arange(pz), Z - 1)
+    padded = data[np.ix_(idx_z, idx_y, idx_x)]
+    blocks = padded.reshape(nz, bz, ny, by, nx, bx, 4)
+    blocks = blocks.transpose(0, 2, 4, 1, 3, 5, 6).reshape(
+        nz * ny * nx, bz * by * bx, 4)
+
+    # Pad the batch to a power-of-two bucket so jit caches compilations
+    # across image sizes (the N axis is the only dynamic shape).
+    n = blocks.shape[0]
+    bucket = max(64, 1 << (n - 1).bit_length())
+    if bucket != n:
+        pad = np.broadcast_to(blocks[:1], (bucket - n,) + blocks.shape[1:])
+        blocks = np.concatenate([blocks, pad], axis=0)
+
+    pcb = _compress_jit(ctx._dtables_key, ctx._enc_key, cfgs,
+                        jnp.asarray(blocks))
+    return np.asarray(pcb)[:n]
+
+
+def _apply_load_swizzle(image, swizzle):
+    if tuple(swizzle) == (0, 1, 2, 3):
+        return image
+    one = 255 if image.dtype == np.uint8 else 1.0
+    chans = {
+        0: image[..., 0], 1: image[..., 1], 2: image[..., 2],
+        3: image[..., 3],
+        4: np.zeros_like(image[..., 0]),
+        5: np.full_like(image[..., 0], one),
+    }
+    return np.stack([chans[s] for s in swizzle], axis=-1)

@@ -1,0 +1,323 @@
+"""Endpoint format selection, batched.
+
+TPU redesign of the reference's format chooser
+(reference: Source/astcenc_pick_best_endpoint_format.cpp): the per-partition
+encoding-choice error estimates, the (quant level x integer count) error
+tables, and the per-mode best-combination search all become dense tensor ops
+over the (block, mode) axes, with the reference's loop-order tie-breaking
+reproduced via first-minimum argmin / masked sequential updates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from . import color_unquant as cuq
+from . import ideal as ideal_ops
+
+QUANT_6 = 4
+ERROR_CALC_DEFAULT = 1e30
+
+# baseline_quant_error[q - QUANT_6] (reference: :328-346)
+_BASELINE_QUANT_ERROR = np.array([
+    (65536.0 * 65536.0 / 18.0) / (d * d)
+    for d in (5, 7, 9, 11, 15, 19, 23, 31, 39, 47, 63, 79, 95, 127, 159, 191, 255)
+], dtype=np.float32)
+
+
+def encoding_choice_errors(texels, pmask, counts, ep0, ep1, channel_weight,
+                           is_luminance, default_alpha):
+    """Estimate the error of cheaper endpoint encodings per partition.
+
+    Reference: compute_encoding_choice_errors (:222-300).
+
+    Args:
+      texels: (N, T, 4); pmask: (N, T, P); counts: (N, P).
+      ep0/ep1: (N, P, 4) ideal endpoints.
+      channel_weight: (4,) static.
+      is_luminance: (N,) block-wide grayscale+opaque flag.
+      default_alpha: scalar (65535 for LDR).
+
+    Returns dict of (N, P) arrays:
+      rgb_scale_error, rgb_luma_error, luminance_error, alpha_drop_error,
+      can_offset_encode, can_blue_contract.
+    """
+    cw = jnp.array(channel_weight, jnp.float32)
+    rgb_mask = (1, 1, 1, 0)
+    avg, dirv = ideal_ops.avgs_and_dirs(texels, pmask, rgb_mask)
+
+    uncor_b = ideal_ops._normalize_safe(dirv, rgb_mask)
+    samec_b = ideal_ops._normalize_safe(avg * jnp.array([1, 1, 1, 0.0]),
+                                        rgb_mask)
+    unit3 = jnp.array([1, 1, 1, 0], jnp.float32) / np.sqrt(3.0)
+
+    def line_err(b_t, amod_t):
+        # b_t/amod_t: (N, T, 4) per-texel line params (RGB lanes)
+        param = jnp.sum(texels[..., :3] * b_t[..., :3], axis=-1)
+        dist = amod_t[..., :3] + param[..., None] * b_t[..., :3] - texels[..., :3]
+        err = jnp.sum(dist * dist * cw[:3], axis=-1)  # (N, T)
+        return jnp.einsum("ntp,nt->np", pmask, err)
+
+    def proj(a, b):
+        # amod = a - b * dot3(a, b), per partition -> per texel
+        d = jnp.sum(a[..., :3] * b[..., :3], axis=-1, keepdims=True)
+        return a - b * d
+
+    uncor_amod = proj(avg, uncor_b)
+    luma_amod = proj(avg, jnp.broadcast_to(unit3, avg.shape))
+
+    def scatter(x):
+        return jnp.einsum("ntp,npc->ntc", pmask, x)
+
+    uncor_err = line_err(scatter(jnp.broadcast_to(uncor_b, avg.shape)),
+                         scatter(uncor_amod))
+    samec_err = line_err(scatter(jnp.broadcast_to(samec_b, avg.shape)),
+                         jnp.zeros_like(texels))
+    rgbl_err = line_err(jnp.broadcast_to(unit3, texels.shape),
+                        scatter(luma_amod))
+    l_err = line_err(jnp.broadcast_to(unit3, texels.shape),
+                     jnp.zeros_like(texels))
+
+    a_diff = texels[..., 3] - default_alpha
+    a_drop = jnp.einsum("ntp,nt->np", pmask, a_diff * a_diff) * cw[3]
+
+    epd = jnp.abs(ep1 - ep0)
+    can_offset = jnp.all(epd[..., :3] < 0.12 * 65535.0, axis=-1)
+
+    return {
+        "rgb_scale_error": (samec_err - uncor_err) * 0.7,
+        "rgb_luma_error": (rgbl_err - uncor_err) * 1.5,
+        "luminance_error": (l_err - uncor_err) * 3.0,
+        "alpha_drop_error": a_drop * 3.0,
+        "can_offset_encode": can_offset,
+        "can_blue_contract": ~is_luminance[:, None] & jnp.ones_like(can_offset),
+    }
+
+
+def color_error_tables_ldr(eci, ep0, ep1, counts, channel_weight):
+    """best_error/format tables per (n, p, quant 0..20, int count 1..4).
+
+    LDR path of compute_color_error_for_every_integer_count_and_quant_level
+    (reference: :315-665).
+
+    Returns (best_error (N, P, 21, 4), format (N, P, 21, 4) int32).
+    """
+    cw = jnp.array(channel_weight, jnp.float32)
+    ew_rgbsum = jnp.sum(cw[:3])
+    psize = counts.astype(jnp.float32)  # (N, P)
+
+    offset = jnp.float32(65535.0)
+    e0h = jnp.maximum(ep0 - offset, 0.0)
+    e1h = jnp.maximum(ep1 - offset, 0.0)
+    e0l = jnp.minimum(ep0, 0.0)
+    e1l = jnp.minimum(ep1, 0.0)
+    sum_range = e0l * e0l + e1l * e1l + e0h * e0h + e1h * e1h
+    rgb_range_error = (jnp.sum(sum_range[..., :3] * cw[:3], axis=-1)
+                       * 0.5 * psize)
+    alpha_range_error = sum_range[..., 3] * cw[3] * 0.5 * psize
+
+    base_rgb = ew_rgbsum * psize       # (N, P)
+    base_a = cw[3] * psize
+    base_rgba = base_rgb + base_a
+
+    bc_rgba = jnp.where(eci["can_blue_contract"], 0.625, 1.0)
+    bc_rgb = jnp.where(eci["can_blue_contract"], 0.5, 1.0)
+    oe_rgba_base = jnp.where(eci["can_offset_encode"], 0.5, 1.0)
+    oe_rgb_base = jnp.where(eci["can_offset_encode"], 0.25, 1.0)
+
+    nq = 21
+    be = jnp.full(counts.shape + (nq, 4), jnp.float32(ERROR_CALC_DEFAULT))
+    fm = jnp.zeros(counts.shape + (nq, 4), jnp.int32)
+    fm = fm.at[..., 3].set(cuq.FMT_RGBA)
+    fm = fm.at[..., 2].set(cuq.FMT_RGB)
+    fm = fm.at[..., 1].set(cuq.FMT_RGB_SCALE)
+    fm = fm.at[..., 0].set(cuq.FMT_LUMINANCE)
+
+    for q in range(QUANT_6, 21):
+        bq = float(_BASELINE_QUANT_ERROR[q - QUANT_6])
+        oe_rgba = jnp.where(q >= 19, 1.0, oe_rgba_base)  # QUANT_192 = 19
+        oe_rgb = jnp.where(q >= 19, 1.0, oe_rgb_base)
+
+        qe_rgb = base_rgb * bq
+        qe_rgba = base_rgba * bq
+
+        full_rgba = (qe_rgba * bc_rgba * oe_rgba + rgb_range_error
+                     + alpha_range_error)
+        be = be.at[..., q, 3].set(full_rgba)
+
+        full_rgb = (qe_rgb * bc_rgb * oe_rgb + rgb_range_error
+                    + eci["alpha_drop_error"])
+        rgbs_alpha = (qe_rgba + eci["rgb_scale_error"] + rgb_range_error
+                      + alpha_range_error)
+        use_rgbs_a = rgbs_alpha < full_rgb
+        be = be.at[..., q, 2].set(jnp.where(use_rgbs_a, rgbs_alpha, full_rgb))
+        fm = fm.at[..., q, 2].set(jnp.where(use_rgbs_a,
+                                            cuq.FMT_RGB_SCALE_ALPHA,
+                                            cuq.FMT_RGB))
+
+        ldr_rgbs = (qe_rgb + rgb_range_error + eci["alpha_drop_error"]
+                    + eci["rgb_scale_error"])
+        lum_alpha = (qe_rgba + rgb_range_error + alpha_range_error
+                     + eci["luminance_error"])
+        use_rgbs = ldr_rgbs < lum_alpha
+        be = be.at[..., q, 1].set(jnp.where(use_rgbs, ldr_rgbs, lum_alpha))
+        fm = fm.at[..., q, 1].set(jnp.where(use_rgbs, cuq.FMT_RGB_SCALE,
+                                            cuq.FMT_LUMINANCE_ALPHA))
+
+        lum_err = (qe_rgb + rgb_range_error + eci["alpha_drop_error"]
+                   + eci["luminance_error"])
+        be = be.at[..., q, 0].set(lum_err)
+
+    return be, fm
+
+
+def combine_partitions(be, fm, partition_count: int):
+    """Best combined (error, formats) per (quant, total integer-pair count).
+
+    Reference: {two,three,four}_partitions_find_best_combination_for_every_
+    quantization_and_integer_count (:728, :842, :967). Combos whose per-
+    partition integer counts differ by more than 1 are invalid. Ties use <=
+    (later enumeration order wins), matching the reference loops.
+
+    Args:
+      be: (N, P, 21, 4); fm: (N, P, 21, 4); partition_count: 2..4.
+
+    Returns:
+      (comb_err (N, 21, S), comb_fmt (N, 21, S, pc)) where
+      S = 3 * pc - 2 + ... the intcnt axis size: pc=2 -> 7, 3 -> 10, 4 -> 13.
+    """
+    pc = partition_count
+    S = {2: 7, 3: 10, 4: 13}[pc]
+    N = be.shape[0]
+
+    comb_err = jnp.full((N, 21, S), jnp.float32(ERROR_CALC_DEFAULT))
+    comb_fmt = jnp.zeros((N, 21, S, pc), jnp.int32)
+
+    import itertools
+    for combo in itertools.product(range(4), repeat=pc):
+        if max(combo) - min(combo) > 1:
+            continue
+        intcnt = sum(combo)
+        err = be[:, 0, :, combo[0]]
+        for p in range(1, pc):
+            err = err + be[:, p, :, combo[p]]
+        err = jnp.minimum(err, 1e10)
+        cur = comb_err[:, :, intcnt]
+        take = err <= cur
+        comb_err = comb_err.at[:, :, intcnt].set(jnp.where(take, err, cur))
+        for p in range(pc):
+            fsel = fm[:, p, :, combo[p]]
+            comb_fmt = comb_fmt.at[:, :, intcnt, p].set(
+                jnp.where(take, fsel, comb_fmt[:, :, intcnt, p]))
+    # Entries below quant 6 in the per-partition tables hold default errors,
+    # matching the reference's initialization.
+    return comb_err, comb_fmt
+
+
+def best_for_bitcount(comb_err, comb_fmt, quant_mode_table_np, bitcounts_np,
+                      partition_count: int, mod_bits: int):
+    """Per-mode best (quant, quant_mod, formats, error) for its bit budget.
+
+    Reference: {one,two,three,four}_partitions_find_best_combination_for_
+    bitcount (:678, :780, :905, :1041). Bit budgets are static per mode, so
+    all quant_mode_table lookups fold to constants.
+
+    Args:
+      comb_err: pc==1: (N, 21, 4) per-partition table; else (N, 21, S).
+      comb_fmt: pc==1: (N, 21, 4) formats; else (N, 21, S, pc).
+      quant_mode_table_np: (10, 128) numpy int.
+      bitcounts_np: (M,) numpy int bits available per mode (may be <= 0 for
+        skipped modes; callers mask those via qwt_errors).
+      partition_count: 1..4.
+      mod_bits: extra bits for the matched-format trick (0/2/5/8).
+
+    Returns dict with per (N, M): error, quant, quant_mod, formats (N,M,pc).
+    """
+    qmt = quant_mode_table_np
+    bits = np.clip(np.asarray(bitcounts_np, np.int64), 0, 127)
+    pc = partition_count
+    M = bits.shape[0]
+
+    if pc == 1:
+        ic_range = range(1, 5)
+        S = 4
+        ic_base = 1
+    else:
+        S = comb_err.shape[-1]
+        ic_range = range(pc, min(4 * pc, 9) + 1)
+        ic_base = pc
+
+    cand_err = []
+    ics = []
+    for ic in ic_range:
+        ql = qmt[ic, bits]                      # (M,) static
+        valid = ql >= QUANT_6                   # (M,) static
+        qlc = np.clip(ql, 0, 20)
+        # comb_err[:, qlc[m], ic - ic_base] for each mode m
+        err_ic = comb_err[:, qlc, ic - ic_base]  # (N, M)
+        err_ic = jnp.where(jnp.asarray(valid), err_ic,
+                           jnp.float32(ERROR_CALC_DEFAULT))
+        cand_err.append(err_ic)
+        ics.append(ic)
+
+    cand = jnp.stack(cand_err, axis=-1)          # (N, M, n_ic)
+    best_idx = jnp.argmin(cand, axis=-1)         # first-min = reference order
+    best_err = jnp.take_along_axis(cand, best_idx[..., None], axis=-1)[..., 0]
+    best_ic = jnp.asarray(ics, jnp.int32)[best_idx]  # (N, M)
+
+    # Reference inits best_integer_count to 0 when nothing is valid:
+    # pc==1 then looks up row best+1 = 1; pc>1 looks up row 0 (all -1).
+    none_valid = best_err >= jnp.float32(ERROR_CALC_DEFAULT)
+    best_ic = jnp.where(none_valid, 1 if pc == 1 else 0, best_ic)
+
+    qmt_j = jnp.asarray(qmt.astype(np.int32))
+    bits_j = jnp.asarray(bits.astype(np.int32))[None, :]
+    ql = qmt_j[best_ic, jnp.broadcast_to(bits_j, best_ic.shape)]
+    ql_mod = qmt_j[best_ic, jnp.broadcast_to(
+        jnp.clip(bits_j + mod_bits, 0, 127), best_ic.shape)]
+
+    qlc = jnp.clip(ql, QUANT_6, 20)
+    if pc == 1:
+        flat = comb_fmt.reshape(comb_fmt.shape[0], 21 * 4)  # (N, 84)
+        idx = qlc * 4 + jnp.clip(best_ic - 1, 0, 3)
+        fmts = jnp.take_along_axis(flat, idx, axis=1)[..., None]  # (N, M, 1)
+    else:
+        Nn = comb_fmt.shape[0]
+        flat = comb_fmt.reshape(Nn, 21 * S, pc)
+        idx = qlc * S + jnp.clip(best_ic - ic_base, 0, S - 1)
+        fmts = jnp.take_along_axis(flat, idx[..., None], axis=1)
+    fmts = jnp.where((ql >= QUANT_6)[..., None], fmts, cuq.FMT_LUMINANCE)
+
+    return {"error": best_err, "quant": ql, "quant_mod": ql_mod,
+            "formats": fmts}
+
+
+def select_candidates(total_errors, tune_candidate_limit: int):
+    """Pick the N best modes, reproducing the reference's selection order.
+
+    Reference: compute_ideal_endpoint_formats tail (:1286-1356): repeated
+    argmin with lowest-index tie-break, masking previous winners.
+
+    Args:
+      total_errors: (N, M) combined error per mode (ERROR_CALC_DEFAULT for
+        invalid modes).
+      tune_candidate_limit: static count <= 8.
+
+    Returns:
+      (cand_modes (N, C) int32 [-1 if none], cand_valid (N, C) bool)
+    """
+    errs = total_errors
+    modes = []
+    valids = []
+    for _ in range(tune_candidate_limit):
+        idx = jnp.argmin(errs, axis=-1)
+        val = jnp.take_along_axis(errs, idx[..., None], axis=-1)[..., 0]
+        ok = val < jnp.float32(ERROR_CALC_DEFAULT)
+        modes.append(jnp.where(ok, idx, -1))
+        valids.append(ok)
+        errs = jnp.where(
+            jnp.arange(errs.shape[-1])[None, :] == idx[:, None],
+            jnp.float32(ERROR_CALC_DEFAULT), errs)
+    return jnp.stack(modes, axis=-1), jnp.stack(valids, axis=-1)

@@ -1,0 +1,119 @@
+"""Encoder tests: spec validity, roundtrip quality, reference conformance.
+
+Mirrors the reference's test strategy (SURVEY.md §4): API error paths,
+roundtrip PSNR floors per preset, and cross-validation of our encoded
+bitstreams through the reference decoder.
+"""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from astcenc_tpu import api
+from astcenc_tpu.config import ConfigError, Flags, Profile, Quality
+from astcenc_tpu.io import astc_file, image_io
+from astcenc_tpu.utils import metrics
+
+SMALL = "/root/reference/Test/Images/Small/LDR-RGB/ldr-rgb-00.png"
+
+
+def _test_image(size=32, alpha=False):
+    if os.path.exists(SMALL):
+        from PIL import Image
+        img = np.asarray(Image.open(SMALL).convert("RGBA")
+                         .crop((0, 0, size, size)))
+    else:
+        rng = np.random.RandomState(3)
+        img = np.kron(rng.randint(0, 255, (size // 4, size // 4, 4), np.uint8),
+                      np.ones((4, 4, 1), np.uint8))
+    if not alpha:
+        img = img.copy()
+        img[..., 3] = 255
+    return img
+
+
+@pytest.fixture(scope="module")
+def ctx44():
+    cfg = api.config_init(Profile.LDR, 4, 4, 1, Quality.FASTEST, 0)
+    return api.context_alloc(cfg)
+
+
+def test_roundtrip_quality_4x4_fastest(ctx44):
+    img = _test_image(32)
+    blocks = api.compress_image(ctx44, img)
+    assert blocks.shape == (64, 16)
+    out = api.decompress_image(ctx44, blocks, 32, 32, 1, out_type="u8")
+    p = metrics.psnr(img, out[0])
+    # The reference achieves ~40+ dB here; require a sane quality floor
+    assert p > 33.0, p
+
+
+def test_constant_color_blocks(ctx44):
+    img = np.full((16, 16, 4), [10, 200, 30, 255], np.uint8)
+    blocks = api.compress_image(ctx44, img)
+    # Constant blocks must use void-extent encoding (first byte 0xFC)
+    assert (blocks[:, 0] == 0xFC).all()
+    out = api.decompress_image(ctx44, blocks, 16, 16, 1, out_type="u8")
+    np.testing.assert_array_equal(out[0], img)
+
+
+def test_reference_decoder_conformance(ctx44, ref_binary, tmp_path):
+    """Our encoded bitstream must decode identically on the reference."""
+    img = _test_image(32)
+    blocks = api.compress_image(ctx44, img)
+    ours = str(tmp_path / "ours.astc")
+    refpng = str(tmp_path / "refdec.png")
+    astc_file.write_astc(ours, ctx44.block_dims, (32, 32, 1), blocks)
+    subprocess.run([ref_binary, "-dl", ours, refpng, "-silent"], check=True,
+                   capture_output=True)
+    refdec, _, _ = image_io.load_image(refpng)
+    ourdec = api.decompress_image(ctx44, blocks, 32, 32, 1, out_type="u8")
+    np.testing.assert_array_equal(refdec, ourdec[0])
+
+
+@pytest.mark.slow
+def test_quality_vs_reference_4x4_fastest(ctx44, ref_binary, tmp_path):
+    from PIL import Image
+    img = _test_image(64)
+    src = str(tmp_path / "in.png")
+    Image.fromarray(img).save(src)
+    blocks = api.compress_image(ctx44, img)
+    ourdec = api.decompress_image(ctx44, blocks, 64, 64, 1, out_type="u8")
+    p_ours = metrics.psnr(img, ourdec[0])
+
+    refastc = str(tmp_path / "ref.astc")
+    refdec = str(tmp_path / "refdec.png")
+    subprocess.run([ref_binary, "-cl", src, refastc, "4x4", "-fastest",
+                    "-silent", "-j", "1"], check=True, capture_output=True)
+    subprocess.run([ref_binary, "-dl", refastc, refdec, "-silent"],
+                   check=True, capture_output=True)
+    rd, _, _ = image_io.load_image(refdec)
+    p_ref = metrics.psnr(img, rd)
+    # Round-1 gate: within 1.5 dB of the reference encoder; the BASELINE
+    # target is 0.05 dB and is tracked in bench/QUALITY notes.
+    assert p_ours > p_ref - 1.5, (p_ours, p_ref)
+
+
+def test_config_errors():
+    with pytest.raises(ConfigError):
+        api.config_init(Profile.LDR, 7, 7, 1, Quality.MEDIUM, 0)
+    with pytest.raises(ConfigError):
+        api.config_init(Profile.LDR, 4, 4, 1, 150.0, 0)
+    with pytest.raises(ConfigError):
+        api.config_init(Profile.LDR, 4, 4, 1, Quality.MEDIUM,
+                        Flags.MAP_NORMAL | Flags.MAP_RGBM)
+
+
+def test_preset_interpolation():
+    # quality=30 interpolates between FAST (10) and MEDIUM (60)
+    cfg = api.config_init(Profile.LDR, 6, 6, 1, 30.0, 0)
+    fast = api.config_init(Profile.LDR, 6, 6, 1, Quality.FAST, 0)
+    med = api.config_init(Profile.LDR, 6, 6, 1, Quality.MEDIUM, 0)
+    assert (min(fast.tune_block_mode_limit, med.tune_block_mode_limit)
+            <= cfg.tune_block_mode_limit
+            <= max(fast.tune_block_mode_limit, med.tune_block_mode_limit))
+    # HDR profiles disable the db cutoff
+    hdr = api.config_init(Profile.HDR, 6, 6, 1, Quality.MEDIUM, 0)
+    assert hdr.tune_db_limit == 999.0
