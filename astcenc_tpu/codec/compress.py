@@ -114,8 +114,40 @@ def _lowest_correlation(texels, channel_weight):
     return jnp.min(vals, axis=1)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+def _trial1_jit(enc_key, cfgs, profile, u8_mask, pc, only_always,
+                st, pot, counts, pindex, threshold, quant_limit, scb):
+    return trial.compress_trial_1plane(
+        st, enc_key.tables, cfgs, profile, u8_mask, pot, counts, pindex,
+        pc, only_always, threshold, quant_limit, scb)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _trial2_jit(enc_key, cfgs, profile, u8_mask,
+                st, p2c_vec, threshold, quant_limit, scb, active):
+    return trial.compress_trial_2planes(
+        st, enc_key.tables, cfgs, profile, u8_mask, p2c_vec, threshold,
+        quant_limit, scb, active)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _psearch_jit(enc_key, cw, pc, limit, reqc, st):
+    return partition_search.find_best_partition_candidates(
+        st, enc_key.bsd, cw, pc, limit, reqc)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _pack_jit(dtables_key, scb):
+    return physical.symbolic_to_physical_batch(dtables_key.tables, scb)
+
+
 def compress_symbolic_batch(dtables_key, enc_key, cfgs: _CfgStatic, texels):
-    """Compress a batch of blocks to physical form. texels: (N, T, 4)."""
+    """Compress a batch of blocks to physical form. texels: (N, T, 4).
+
+    Orchestrates separately-jitted stages so structurally identical trials
+    (e.g. the two pc=2 partition trials, or the four 2-plane component
+    passes) share a single compilation.
+    """
     et: trial.EncoderTables = enc_key.tables
     dt = dtables_key.tables
     cfg = cfgs
@@ -159,11 +191,11 @@ def compress_symbolic_batch(dtables_key, enc_key, cfgs: _CfgStatic, texels):
 
     errorval_mult = (overshoot, 1.0)
     for i in range(start_trial, 2):
-        scb, errv = trial.compress_trial_1plane(
-            st, et, cfg, profile, u8_mask, pot1, counts1, pindex1, 1,
-            only_always=(i == 0),
-            threshold=error_threshold * errorval_mult[i] * overshoot,
-            quant_limit=quant_limit, scb=scb)
+        scb, errv = _trial1_jit(
+            enc_key, cfg, profile, u8_mask, 1, i == 0,
+            st, pot1, counts1, pindex1,
+            error_threshold * errorval_mult[i] * overshoot,
+            quant_limit, scb)
 
         # Track winner's weight quant for later trials
         won = ~scb["block_type_error"]
@@ -189,10 +221,11 @@ def compress_symbolic_batch(dtables_key, enc_key, cfgs: _CfgStatic, texels):
             const_ch = st["data_min"][:, comp] == st["data_max"][:, comp]
             active = active & ~const_ch
 
-            scb, errv = trial.compress_trial_2planes(
-                st, et, cfg, profile, u8_mask, comp,
-                threshold=error_threshold * overshoot,
-                quant_limit=quant_limit, scb=scb, active_in=active)
+            p2c_vec = jnp.full((texels.shape[0],), comp, jnp.int32)
+            scb, errv = _trial2_jit(
+                enc_key, cfg, profile, u8_mask,
+                st, p2c_vec, error_threshold * overshoot,
+                quant_limit, scb, active)
 
             errv = jnp.where(active, errv, jnp.float32(ERROR_CALC_DEFAULT))
             stopped2p = stopped2p | (active
@@ -215,8 +248,8 @@ def compress_symbolic_batch(dtables_key, enc_key, cfgs: _CfgStatic, texels):
         parts = bsd.partitionings[pc]
         if parts["count_selected"] == 0 or ntrials == 0:
             continue
-        seeds, valid = partition_search.find_best_partition_candidates(
-            st, bsd, cw, pc, req_idx[pc - 2], ntrials)
+        seeds, valid = _psearch_jit(enc_key, cw, pc, req_idx[pc - 2],
+                                    ntrials, st)
 
         pot_all = jnp.asarray(parts["partition_of_texel"].astype(np.int32))
         ptc_all = jnp.asarray(parts["partition_texel_count"].astype(np.int32))
@@ -234,11 +267,10 @@ def compress_symbolic_batch(dtables_key, enc_key, cfgs: _CfgStatic, texels):
             # Freeze invalid lanes by pretending they are finished
             saved_fin = scb["finished"]
             scb["finished"] = scb["finished"] | ~ok
-            scb, errv = trial.compress_trial_1plane(
-                st, et, cfg, profile, u8_mask, pot, counts, seed, pc,
-                only_always=False,
-                threshold=error_threshold * overshoot,
-                quant_limit=quant_limit, scb=scb)
+            scb, errv = _trial1_jit(
+                enc_key, cfg, profile, u8_mask, pc, False,
+                st, pot, counts, seed,
+                error_threshold * overshoot, quant_limit, scb)
             scb["finished"] = saved_fin | (scb["finished"] & ok)
 
             errv = jnp.where(ok, errv, jnp.float32(ERROR_CALC_DEFAULT))
@@ -265,10 +297,9 @@ def compress_symbolic_batch(dtables_key, enc_key, cfgs: _CfgStatic, texels):
     scb["quant_mode"] = jnp.where(err_lane, 4, scb["quant_mode"])
     scb["partition_count"] = jnp.where(err_lane, 1, scb["partition_count"])
 
-    return physical.symbolic_to_physical_batch(dt, scb)
+    return _pack_jit(dtables_key, scb)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
 def _compress_jit(dtables_key, enc_key, cfgs, texels):
     return compress_symbolic_batch(dtables_key, enc_key, cfgs, texels)
 

@@ -13,6 +13,7 @@ import dataclasses
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from ..ops import angular as ang
@@ -297,7 +298,8 @@ def compress_trial_1plane(st, et: EncoderTables, cfg, profile: int,
     cand_modes, cand_valid = fmts.select_candidates(
         total_err, cfg.tune_candidate_limit)
 
-    # --- Candidate refinement loop -------------------------------------------
+    # --- Candidate refinement loop (lax.scan over candidates and over the
+    # refinement iterations, to keep the compiled graph small) ---------------
     best_in_mode = jnp.full((N,), jnp.float32(ERROR_CALC_DEFAULT))
     dec_int_j = jnp.asarray(et.dec_int)
     dec_f32_j = jnp.asarray(et.dec_f32)
@@ -307,11 +309,115 @@ def compress_trial_1plane(st, et: EncoderTables, cfg, profile: int,
     quant_m_j = jnp.asarray(quant_m)
     dm_m_j = jnp.asarray(dm_m)
 
-    skip_rest = jnp.zeros((N,), bool)  # "good enough" early-out
+    def refine_step(rcarry, r):
+        (wgrid, ep0_c, ep1_c, cand_active, scb, skip_rest, best_in_mode,
+         consts) = rcarry
+        (mode_c, fmt_req, cq, cq_mod, wq_c, Mint_c, Mf32_c, incid_c,
+         wvalid_c) = consts
 
-    for c in range(cfg.tune_candidate_limit):
-        mode_c = jnp.clip(cand_modes[:, c], 0, M1 - 1)
-        cand_ok = cand_valid[:, c] & ~skip_rest & ~scb["finished"]
+        undec = jnp.einsum("ntw,nw->nt", Mf32_c,
+                           wgrid.astype(jnp.float32)) / 64.0
+        rc = recompute_ops.recompute_ideal_colors_1plane(
+            texels, pmask, counts, undec, cw, ep0_c, ep1_c,
+            is_hdr=(profile >= 2))
+        ep0_c, ep1_c = rc["ep0"], rc["ep1"]
+
+        def flat(x):
+            return x[:, :pc].reshape(N * pc, -1)
+
+        fmt_p, vals_p = cpack.pack_color_endpoints_ldr(
+            flat(ep0_c)[:, :4], flat(ep1_c)[:, :4], flat(rc["rgbs"])[:, :4],
+            fmt_req.reshape(N * pc), jnp.repeat(cq, pc))
+        fmt_p = fmt_p.reshape(N, pc)
+        vals_p = vals_p.reshape(N, pc, 8)
+
+        matched = jnp.zeros((N,), bool)
+        use_q = cq
+        if pc >= 2:
+            all_same = (cq != cq_mod)
+            all_same &= jnp.all(fmt_p == fmt_p[:, :1], axis=1)
+            fmt_m, vals_m = cpack.pack_color_endpoints_ldr(
+                flat(ep0_c)[:, :4], flat(ep1_c)[:, :4],
+                flat(rc["rgbs"])[:, :4], fmt_req.reshape(N * pc),
+                jnp.repeat(jnp.clip(cq_mod, 4, 20), pc))
+            fmt_m = fmt_m.reshape(N, pc)
+            vals_m = vals_m.reshape(N, pc, 8)
+            same_mod = jnp.all(fmt_m == fmt_m[:, :1], axis=1)
+            matched = all_same & same_mod & (cq_mod >= 4)
+            fmt_p = jnp.where(matched[:, None], fmt_m, fmt_p)
+            vals_p = jnp.where(matched[:, None, None], vals_m, vals_p)
+            use_q = jnp.where(matched, cq_mod, cq)
+
+        fmt4 = jnp.zeros((N, 4), jnp.int32).at[:, :pc].set(fmt_p)
+        vals4 = jnp.zeros((N, 4, 8), jnp.int32).at[:, :pc].set(vals_p)
+
+        def make_update(scb, errv, wg, active):
+            take = active & (errv < scb["errorval"])
+            wg64 = jnp.zeros((N, 64), jnp.int32).at[:, :W].set(wg)
+            new_scb = dict(scb)
+            new_scb["errorval"] = jnp.where(take, errv, scb["errorval"])
+            new_scb["block_type_error"] = scb["block_type_error"] & ~take
+            new_scb["block_mode"] = jnp.where(
+                take, mode_index_j[mode_c], scb["block_mode"])
+            new_scb["quant_mode"] = jnp.where(take, use_q, scb["quant_mode"])
+            new_scb["partition_count"] = jnp.where(take, pc,
+                                                   scb["partition_count"])
+            new_scb["partition_index"] = jnp.where(
+                take, partition_index, scb["partition_index"])
+            new_scb["color_formats"] = jnp.where(take[:, None], fmt4,
+                                                 scb["color_formats"])
+            new_scb["color_formats_matched"] = jnp.where(
+                take, matched, scb["color_formats_matched"])
+            new_scb["color_values"] = jnp.where(take[:, None, None], vals4,
+                                                scb["color_values"])
+            new_scb["plane2_component"] = jnp.where(
+                take, -1, scb["plane2_component"])
+            new_scb["weights"] = jnp.where(take[:, None], wg64,
+                                           scb["weights"])
+            return new_scb, take
+
+        # Pre-realign test (reference runs this only on iteration 0)
+        first = r == 0
+        errv = trial_error_1plane(texels, pmask, fmt4, vals4, wgrid, Mint_c,
+                                  cw, profile, u8_mask)
+        pre_active = cand_active & first
+        best_in_mode = jnp.where(pre_active,
+                                 jnp.minimum(errv, best_in_mode),
+                                 best_in_mode)
+        thr0 = 0.045 * cfg.tune_refinement_limit + 1.08
+        catchup0 = errv > thr0 * scb["errorval"]
+        scb, took = make_update(scb, errv, wgrid, pre_active)
+        hit0 = pre_active & (errv < threshold) & took
+        skip_rest = skip_rest | hit0
+        cand_active = cand_active & ~(first & (catchup0 | hit0))
+
+        # Realign + post test
+        new_wgrid, adjusted = realign_ops.realign_decimated(
+            wgrid, texels, pmask, *_decode_endpoints(profile, fmt4, vals4),
+            cw, pn, wq_c, Mf32_c, incid_c, wvalid_c)
+        wgrid = jnp.where(cand_active[:, None], new_wgrid, wgrid)
+
+        errv = trial_error_1plane(texels, pmask, fmt4, vals4, wgrid, Mint_c,
+                                  cw, profile, u8_mask)
+        best_in_mode = jnp.where(cand_active,
+                                 jnp.minimum(errv, best_in_mode),
+                                 best_in_mode)
+        iters_remaining = cfg.tune_refinement_limit - 1 - r
+        thr = 0.045 * iters_remaining.astype(jnp.float32) + 1.0
+        catchup = errv > thr * scb["errorval"]
+        scb, took = make_update(scb, errv, wgrid, cand_active)
+        hit = cand_active & (errv < threshold) & took
+        skip_rest = skip_rest | hit
+        cand_active = cand_active & ~catchup & ~hit & adjusted
+
+        return (wgrid, ep0_c, ep1_c, cand_active, scb, skip_rest,
+                best_in_mode, consts), None
+
+    def candidate_step(ccarry, xs):
+        scb, skip_rest, best_in_mode = ccarry
+        mode_raw, valid_c = xs
+        mode_c = jnp.clip(mode_raw, 0, M1 - 1)
+        cand_ok = valid_c & ~skip_rest & ~scb["finished"]
 
         dm_c = dm_m_j[mode_c]
         wq_c = quant_m_j[mode_c]
@@ -319,112 +425,26 @@ def compress_trial_1plane(st, et: EncoderTables, cfg, profile: int,
         cq = jnp.clip(bb["quant"][jnp.arange(N), mode_c], 4, 20)
         cq_mod = jnp.clip(bb["quant_mod"][jnp.arange(N), mode_c], 0, 20)
 
-        wgrid = jnp.take_along_axis(
-            uq, mode_c[:, None, None], axis=1)[:, 0]     # (N, W)
-        Mint_c = dec_int_j[dm_c]                         # (N, T, W)
+        wgrid = jnp.take_along_axis(uq, mode_c[:, None, None], axis=1)[:, 0]
+        Mint_c = dec_int_j[dm_c]
         Mf32_c = dec_f32_j[dm_c]
         incid_c = (Mint_c != 0).astype(jnp.float32)
         wvalid_c = wvalid_j[dm_c]
 
-        ep0_c = ei["ep0"]
-        ep1_c = ei["ep1"]
-        cand_active = cand_ok
+        consts = (mode_c, fmt_req, cq, cq_mod, wq_c, Mint_c, Mf32_c,
+                  incid_c, wvalid_c)
+        rcarry = (wgrid, ei["ep0"], ei["ep1"], cand_ok, scb, skip_rest,
+                  best_in_mode, consts)
+        rcarry, _ = jax.lax.scan(refine_step, rcarry,
+                                 jnp.arange(cfg.tune_refinement_limit))
+        _, _, _, _, scb, skip_rest, best_in_mode, _ = rcarry
+        return (scb, skip_rest, best_in_mode), None
 
-        for r in range(cfg.tune_refinement_limit):
-            undec = jnp.einsum("ntw,nw->nt", Mf32_c,
-                               wgrid.astype(jnp.float32)) / 64.0
-            rc = recompute_ops.recompute_ideal_colors_1plane(
-                texels, pmask, counts, undec, cw, ep0_c, ep1_c,
-                is_hdr=(profile >= 2))
-            ep0_c, ep1_c = rc["ep0"], rc["ep1"]
-
-            flat = lambda x: x[:, :pc].reshape(N * pc, -1)
-            fmt_p, vals_p = cpack.pack_color_endpoints_ldr(
-                flat(ep0_c)[:, :4], flat(ep1_c)[:, :4],
-                flat(rc["rgbs"])[:, :4],
-                fmt_req.reshape(N * pc), jnp.repeat(cq, pc))
-            fmt_p = fmt_p.reshape(N, pc)
-            vals_p = vals_p.reshape(N, pc, 8)
-
-            matched = jnp.zeros((N,), bool)
-            use_q = cq
-            if pc >= 2:
-                all_same = (cq != cq_mod)
-                all_same &= jnp.all(fmt_p == fmt_p[:, :1], axis=1)
-                fmt_m, vals_m = cpack.pack_color_endpoints_ldr(
-                    flat(ep0_c)[:, :4], flat(ep1_c)[:, :4],
-                    flat(rc["rgbs"])[:, :4],
-                    fmt_req.reshape(N * pc),
-                    jnp.repeat(jnp.clip(cq_mod, 4, 20), pc))
-                fmt_m = fmt_m.reshape(N, pc)
-                vals_m = vals_m.reshape(N, pc, 8)
-                same_mod = jnp.all(fmt_m == fmt_m[:, :1], axis=1)
-                matched = all_same & same_mod & (cq_mod >= 4)
-                fmt_p = jnp.where(matched[:, None], fmt_m, fmt_p)
-                vals_p = jnp.where(matched[:, None, None], vals_m, vals_p)
-                use_q = jnp.where(matched, cq_mod, cq)
-
-            fmt4 = jnp.zeros((N, 4), jnp.int32).at[:, :pc].set(fmt_p)
-            vals4 = jnp.zeros((N, 4, 8), jnp.int32).at[:, :pc].set(vals_p)
-
-            def make_update(errv, wg):
-                take = cand_active & (errv < scb["errorval"])
-                new_scb = dict(scb)
-                new_scb["errorval"] = jnp.where(take, errv, scb["errorval"])
-                new_scb["block_type_error"] = scb["block_type_error"] & ~take
-                new_scb["block_mode"] = jnp.where(
-                    take, mode_index_j[mode_c], scb["block_mode"])
-                new_scb["quant_mode"] = jnp.where(take, use_q,
-                                                  scb["quant_mode"])
-                new_scb["partition_count"] = jnp.where(
-                    take, pc, scb["partition_count"])
-                new_scb["partition_index"] = jnp.where(
-                    take, partition_index, scb["partition_index"])
-                new_scb["color_formats"] = jnp.where(
-                    take[:, None], fmt4, scb["color_formats"])
-                new_scb["color_formats_matched"] = jnp.where(
-                    take, matched, scb["color_formats_matched"])
-                new_scb["color_values"] = jnp.where(
-                    take[:, None, None], vals4, scb["color_values"])
-                new_scb["plane2_component"] = jnp.where(
-                    take, -1, scb["plane2_component"])
-                wg64 = jnp.zeros((N, 64), jnp.int32).at[:, :W].set(wg)
-                new_scb["weights"] = jnp.where(take[:, None], wg64,
-                                               scb["weights"])
-                return new_scb, take
-
-            if r == 0:
-                errv = trial_error_1plane(texels, pmask, fmt4, vals4, wgrid,
-                                          Mint_c, cw, profile, u8_mask)
-                best_in_mode = jnp.where(cand_active,
-                                         jnp.minimum(errv, best_in_mode),
-                                         best_in_mode)
-                iters_remaining = cfg.tune_refinement_limit - r
-                thr = 0.045 * iters_remaining + 1.08
-                catchup = errv > thr * scb["errorval"]
-                scb, took = make_update(errv, wgrid)
-                hit = cand_active & (errv < threshold) & took
-                skip_rest = skip_rest | hit
-                cand_active = cand_active & ~catchup & ~hit
-
-            new_wgrid, adjusted = realign_ops.realign_decimated(
-                wgrid, texels, pmask,
-                *_decode_endpoints(profile, fmt4, vals4),
-                cw, pn, wq_c, Mf32_c, incid_c, wvalid_c)
-            wgrid = jnp.where(cand_active[:, None], new_wgrid, wgrid)
-
-            errv = trial_error_1plane(texels, pmask, fmt4, vals4, wgrid,
-                                      Mint_c, cw, profile, u8_mask)
-            best_in_mode = jnp.where(cand_active,
-                                     jnp.minimum(errv, best_in_mode),
-                                     best_in_mode)
-            iters_remaining = cfg.tune_refinement_limit - 1 - r
-            thr = 0.045 * iters_remaining + 1.0
-            catchup = errv > thr * scb["errorval"]
-            scb, took = make_update(errv, wgrid)
-            hit = cand_active & (errv < threshold) & took
-            skip_rest = skip_rest | hit
-            cand_active = cand_active & ~catchup & ~hit & adjusted
+    skip_rest = jnp.zeros((N,), bool)
+    ccarry = (scb, skip_rest, best_in_mode)
+    ccarry, _ = jax.lax.scan(candidate_step, ccarry,
+                             (cand_modes.T, cand_valid.T))
+    scb, _, best_in_mode = ccarry
 
     return scb, best_in_mode
 
@@ -438,14 +458,16 @@ _PLANE_COMPONENT_MASKS = {
 
 
 def compress_trial_2planes(st, et: EncoderTables, cfg, profile: int,
-                           u8_mask: bool, plane2_component: int, threshold,
+                           u8_mask: bool, p2c_vec, threshold,
                            quant_limit, scb, active_in):
-    """One 2-plane trial for a fixed plane-2 component (1 partition).
+    """One 2-plane trial over a per-block plane-2 component (1 partition).
 
     Reference: compress_symbolic_block_for_partition_2planes (:715-1037).
+    The plane-2 component is traced so the same compiled trial serves all
+    four component passes of the driver.
 
     Args:
-      plane2_component: static component 0..3.
+      p2c_vec: (N,) int32 plane-2 component per block.
       active_in: (N,) mask of blocks participating in this trial.
 
     Returns (scb, best_errorval_in_mode (N,)).
@@ -453,36 +475,54 @@ def compress_trial_2planes(st, et: EncoderTables, cfg, profile: int,
     texels = st["texels"]
     N, T, _ = texels.shape
     cw = cfg.channel_weights
-    p2c = plane2_component
+    p2c = p2c_vec
 
     pot1 = jnp.zeros((N, T), jnp.int32)
     counts1 = jnp.zeros((N, 4), jnp.int32).at[:, 0].set(T)
     pmask = ideal_ops.partition_onehot(pot1)
 
     # --- Ideal endpoints/weights for both planes ------------------------------
-    mask_noalpha, mask_alpha = _PLANE_COMPONENT_MASKS[p2c]
-    ei1a = ideal_ops.ideal_colors_and_weights(
-        texels, pmask, counts1, st["data_min"], st["data_max"], cw,
-        mask_alpha, omitted_component=p2c)
-    if mask_noalpha is not None:
-        ei1n = ideal_ops.ideal_colors_and_weights(
+    # Compute the per-component variants and select by the traced component.
+    def sel_comp(variants):
+        out = variants[0]
+        for comp_i in range(1, len(variants)):
+            v = variants[comp_i]
+            for k in out:
+                m = (p2c == comp_i).reshape((N,) + (1,) * (out[k].ndim - 1))
+                out = dict(out)
+                out[k] = jnp.where(m, v[k], out[k])
+        return out
+
+    ei1_variants = []
+    ei2_variants = []
+    keys = ("weights", "weight_error_scale", "ep0", "ep1")
+    for comp_i in range(4):
+        mask_noalpha, mask_alpha = _PLANE_COMPONENT_MASKS[comp_i]
+        ei1a = ideal_ops.ideal_colors_and_weights(
             texels, pmask, counts1, st["data_min"], st["data_max"], cw,
-            mask_noalpha)
-        ua = st["uses_alpha"]
+            mask_alpha, omitted_component=comp_i)
+        if mask_noalpha is not None:
+            ei1n = ideal_ops.ideal_colors_and_weights(
+                texels, pmask, counts1, st["data_min"], st["data_max"], cw,
+                mask_noalpha)
+            ua = st["uses_alpha"]
 
-        def sel(a, b, dims):
-            m = ua.reshape((N,) + (1,) * dims)
-            return jnp.where(m, a, b)
+            def sel(a, b):
+                m = ua.reshape((N,) + (1,) * (a.ndim - 1))
+                return jnp.where(m, a, b)
 
-        ei1 = {k: sel(ei1a[k], ei1n[k], ei1a[k].ndim - 1) for k in
-               ("weights", "weight_error_scale", "ep0", "ep1")}
-    else:
-        ei1 = ei1a
+            ei1_variants.append({k: sel(ei1a[k], ei1n[k]) for k in keys})
+        else:
+            ei1_variants.append({k: ei1a[k] for k in keys})
 
-    comp_mask2 = tuple(1 if i == p2c else 0 for i in range(4))
-    ei2 = ideal_ops.ideal_colors_and_weights(
-        texels, pmask, counts1, st["data_min"], st["data_max"], cw,
-        comp_mask2)
+        comp_mask2 = tuple(1 if i == comp_i else 0 for i in range(4))
+        e2 = ideal_ops.ideal_colors_and_weights(
+            texels, pmask, counts1, st["data_min"], st["data_max"], cw,
+            comp_mask2)
+        ei2_variants.append({k: e2[k] for k in keys})
+
+    ei1 = sel_comp(ei1_variants)
+    ei2 = sel_comp(ei2_variants)
 
     # --- Ideal decimated weights for both planes -------------------------------
     dec_int_j = jnp.asarray(et.dec_int)
@@ -497,7 +537,7 @@ def compress_trial_2planes(st, et: EncoderTables, cfg, profile: int,
 
     # --- min weight cutoffs (reference: :763-785) ------------------------------
     lane = jnp.arange(4)
-    err_lane = lane[None, :] == p2c
+    err_lane = lane[None, :] == p2c[:, None]
     ep1r = (1.0 - ei1["ep0"][:, 0]) / (ei1["ep1"][:, 0] - ei1["ep0"][:, 0])
     use1 = (ep1r > 0.5) & (ep1r < 10.0)
     min_ep1 = jnp.where(use1, ep1r, 10.0)
@@ -573,26 +613,109 @@ def compress_trial_2planes(st, et: EncoderTables, cfg, profile: int,
     cand_modes, cand_valid = fmts.select_candidates(
         total_err, cfg.tune_candidate_limit)
 
-    # --- Candidate refinement ----------------------------------------------------
+    # --- Candidate refinement (scan form, as in the 1-plane trial) ------------
     best_in_mode = jnp.full((N,), jnp.float32(ERROR_CALC_DEFAULT))
     pn = jnp.asarray(et.weight_prev_next)
     mode_index_j = jnp.asarray(et.m2_mode_index)
     quant_m_j = jnp.asarray(quant_m)
     dm_m_j = jnp.asarray(dm_m)
     wvalid_j = jnp.asarray(wvalid_np)
-    p2c_vec = jnp.full((N,), p2c, jnp.int32)
     plane2_lanes = err_lane  # (N, 4) bool
 
-    skip_rest = jnp.zeros((N,), bool)
+    def refine_step(rcarry, r):
+        (wg1, wg2, ep0_c, ep1_c, cand_active, scb, skip_rest, best_in_mode,
+         consts) = rcarry
+        (mode_c, fmt_req, cq, wq_c, Mint_c, Mf32_c, incid_c,
+         wvalid_c) = consts
 
-    for c in range(cfg.tune_candidate_limit):
-        mode_c = jnp.clip(cand_modes[:, c], 0, M2 - 1)
-        cand_ok = (cand_valid[:, c] & ~skip_rest & ~scb["finished"]
-                   & active_in)
+        u1 = jnp.einsum("ntw,nw->nt", Mf32_c, wg1.astype(jnp.float32)) / 64.0
+        u2 = jnp.einsum("ntw,nw->nt", Mf32_c, wg2.astype(jnp.float32)) / 64.0
+        rc = recompute_ops.recompute_ideal_colors_2planes(
+            texels, u1, u2, p2c_vec, cw, st["data_mean"], ep0_c, ep1_c,
+            is_hdr=(profile >= 2))
+        ep0_c, ep1_c = rc["ep0"], rc["ep1"]
+
+        fmt_p, vals_p = cpack.pack_color_endpoints_ldr(
+            ep0_c, ep1_c, rc["rgbs"], fmt_req, cq)
+        fmt4 = jnp.zeros((N, 4), jnp.int32).at[:, 0].set(fmt_p)
+        vals4 = jnp.zeros((N, 4, 8), jnp.int32).at[:, 0].set(vals_p)
+
+        def make_update(scb, errv, w1, w2, active):
+            take = active & (errv < scb["errorval"])
+            W_ = w1.shape[1]
+            wa = jnp.zeros((N, 64), jnp.int32).at[:, :W_].set(w1)
+            wb = jnp.zeros((N, 64), jnp.int32).at[:, :W_].set(w2)
+            new_scb = dict(scb)
+            new_scb["errorval"] = jnp.where(take, errv, scb["errorval"])
+            new_scb["block_type_error"] = scb["block_type_error"] & ~take
+            new_scb["block_mode"] = jnp.where(
+                take, mode_index_j[mode_c], scb["block_mode"])
+            new_scb["quant_mode"] = jnp.where(take, cq, scb["quant_mode"])
+            new_scb["partition_count"] = jnp.where(take, 1,
+                                                   scb["partition_count"])
+            new_scb["partition_index"] = jnp.where(take, 0,
+                                                   scb["partition_index"])
+            new_scb["color_formats"] = jnp.where(take[:, None], fmt4,
+                                                 scb["color_formats"])
+            new_scb["color_formats_matched"] = jnp.where(
+                take, False, scb["color_formats_matched"])
+            new_scb["color_values"] = jnp.where(take[:, None, None], vals4,
+                                                scb["color_values"])
+            new_scb["plane2_component"] = jnp.where(
+                take, p2c, scb["plane2_component"])
+            new_scb["weights"] = jnp.where(take[:, None], wa, scb["weights"])
+            new_scb["weights2"] = jnp.where(take[:, None], wb,
+                                            scb["weights2"])
+            return new_scb, take
+
+        first = r == 0
+        errv = trial_error_2plane(texels, fmt_p, vals_p, wg1, wg2, p2c_vec,
+                                  Mint_c, cw, profile, u8_mask)
+        pre_active = cand_active & first
+        best_in_mode = jnp.where(pre_active, jnp.minimum(errv, best_in_mode),
+                                 best_in_mode)
+        thr0 = 0.045 * cfg.tune_refinement_limit + 1.08
+        catchup0 = errv > thr0 * scb["errorval"]
+        scb, took = make_update(scb, errv, wg1, wg2, pre_active)
+        hit0 = pre_active & (errv < threshold) & took
+        skip_rest = skip_rest | hit0
+        cand_active = cand_active & ~(first & (catchup0 | hit0))
+
+        ep0i, ep1i = _decode_endpoints(profile, fmt4, vals4)
+        nw1, adj1 = realign_ops.realign_decimated(
+            wg1, texels, pmask, ep0i, ep1i, cw, pn, wq_c, Mf32_c,
+            incid_c, wvalid_c, plane_mask=plane2_lanes)
+        nw2, adj2 = realign_ops.realign_decimated(
+            wg2, texels, pmask, ep0i, ep1i, cw, pn, wq_c, Mf32_c,
+            incid_c, wvalid_c, plane_mask=~plane2_lanes)
+        wg1 = jnp.where(cand_active[:, None], nw1, wg1)
+        wg2 = jnp.where(cand_active[:, None], nw2, wg2)
+        adjusted = adj1 | adj2
+
+        errv = trial_error_2plane(texels, fmt_p, vals_p, wg1, wg2, p2c_vec,
+                                  Mint_c, cw, profile, u8_mask)
+        best_in_mode = jnp.where(cand_active, jnp.minimum(errv, best_in_mode),
+                                 best_in_mode)
+        iters_remaining = cfg.tune_refinement_limit - 1 - r
+        thr = 0.045 * iters_remaining.astype(jnp.float32) + 1.0
+        catchup = errv > thr * scb["errorval"]
+        scb, took = make_update(scb, errv, wg1, wg2, cand_active)
+        hit = cand_active & (errv < threshold) & took
+        skip_rest = skip_rest | hit
+        cand_active = cand_active & ~catchup & ~hit & adjusted
+
+        return (wg1, wg2, ep0_c, ep1_c, cand_active, scb, skip_rest,
+                best_in_mode, consts), None
+
+    def candidate_step(ccarry, xs):
+        scb, skip_rest, best_in_mode = ccarry
+        mode_raw, valid_c = xs
+        mode_c = jnp.clip(mode_raw, 0, M2 - 1)
+        cand_ok = valid_c & ~skip_rest & ~scb["finished"] & active_in
 
         dm_c = dm_m_j[mode_c]
         wq_c = quant_m_j[mode_c]
-        fmt_req = bb["formats"][jnp.arange(N), mode_c, 0]   # (N,)
+        fmt_req = bb["formats"][jnp.arange(N), mode_c, 0]
         cq = jnp.clip(bb["quant"][jnp.arange(N), mode_c], 4, 20)
 
         wg1 = jnp.take_along_axis(uq1, mode_c[:, None, None], axis=1)[:, 0]
@@ -602,91 +725,19 @@ def compress_trial_2planes(st, et: EncoderTables, cfg, profile: int,
         incid_c = (Mint_c != 0).astype(jnp.float32)
         wvalid_c = wvalid_j[dm_c]
 
-        ep0_c = ep0m[:, 0]
-        ep1_c = ep1m[:, 0]
-        cand_active = cand_ok
+        consts = (mode_c, fmt_req, cq, wq_c, Mint_c, Mf32_c, incid_c,
+                  wvalid_c)
+        rcarry = (wg1, wg2, ep0m[:, 0], ep1m[:, 0], cand_ok, scb, skip_rest,
+                  best_in_mode, consts)
+        rcarry, _ = jax.lax.scan(refine_step, rcarry,
+                                 jnp.arange(cfg.tune_refinement_limit))
+        scb, skip_rest, best_in_mode = rcarry[5], rcarry[6], rcarry[7]
+        return (scb, skip_rest, best_in_mode), None
 
-        for r in range(cfg.tune_refinement_limit):
-            u1 = jnp.einsum("ntw,nw->nt", Mf32_c,
-                            wg1.astype(jnp.float32)) / 64.0
-            u2 = jnp.einsum("ntw,nw->nt", Mf32_c,
-                            wg2.astype(jnp.float32)) / 64.0
-            rc = recompute_ops.recompute_ideal_colors_2planes(
-                texels, u1, u2, p2c_vec, cw, st["data_mean"], ep0_c, ep1_c,
-                is_hdr=(profile >= 2))
-            ep0_c, ep1_c = rc["ep0"], rc["ep1"]
-
-            fmt_p, vals_p = cpack.pack_color_endpoints_ldr(
-                ep0_c, ep1_c, rc["rgbs"], fmt_req, cq)
-
-            fmt4 = jnp.zeros((N, 4), jnp.int32).at[:, 0].set(fmt_p)
-            vals4 = jnp.zeros((N, 4, 8), jnp.int32).at[:, 0].set(vals_p)
-
-            def make_update(errv, w1, w2):
-                take = cand_active & (errv < scb["errorval"])
-                new_scb = dict(scb)
-                new_scb["errorval"] = jnp.where(take, errv, scb["errorval"])
-                new_scb["block_type_error"] = scb["block_type_error"] & ~take
-                new_scb["block_mode"] = jnp.where(
-                    take, mode_index_j[mode_c], scb["block_mode"])
-                new_scb["quant_mode"] = jnp.where(take, cq, scb["quant_mode"])
-                new_scb["partition_count"] = jnp.where(
-                    take, 1, scb["partition_count"])
-                new_scb["partition_index"] = jnp.where(
-                    take, 0, scb["partition_index"])
-                new_scb["color_formats"] = jnp.where(
-                    take[:, None], fmt4, scb["color_formats"])
-                new_scb["color_formats_matched"] = jnp.where(
-                    take, False, scb["color_formats_matched"])
-                new_scb["color_values"] = jnp.where(
-                    take[:, None, None], vals4, scb["color_values"])
-                new_scb["plane2_component"] = jnp.where(
-                    take, p2c, scb["plane2_component"])
-                W_ = w1.shape[1]
-                wa = jnp.zeros((N, 64), jnp.int32).at[:, :W_].set(w1)
-                wb = jnp.zeros((N, 64), jnp.int32).at[:, :W_].set(w2)
-                new_scb["weights"] = jnp.where(take[:, None], wa,
-                                               scb["weights"])
-                new_scb["weights2"] = jnp.where(take[:, None], wb,
-                                                scb["weights2"])
-                return new_scb, take
-
-            if r == 0:
-                errv = trial_error_2plane(texels, fmt_p, vals_p, wg1, wg2,
-                                          p2c_vec, Mint_c, cw, profile,
-                                          u8_mask)
-                best_in_mode = jnp.where(cand_active,
-                                         jnp.minimum(errv, best_in_mode),
-                                         best_in_mode)
-                thr = 0.045 * cfg.tune_refinement_limit + 1.08
-                catchup = errv > thr * scb["errorval"]
-                scb, took = make_update(errv, wg1, wg2)
-                hit = cand_active & (errv < threshold) & took
-                skip_rest = skip_rest | hit
-                cand_active = cand_active & ~catchup & ~hit
-
-            ep0i, ep1i = _decode_endpoints(profile, fmt4, vals4)
-            nw1, adj1 = realign_ops.realign_decimated(
-                wg1, texels, pmask, ep0i, ep1i, cw, pn, wq_c, Mf32_c,
-                incid_c, wvalid_c, plane_mask=plane2_lanes)
-            nw2, adj2 = realign_ops.realign_decimated(
-                wg2, texels, pmask, ep0i, ep1i, cw, pn, wq_c, Mf32_c,
-                incid_c, wvalid_c, plane_mask=~plane2_lanes)
-            wg1 = jnp.where(cand_active[:, None], nw1, wg1)
-            wg2 = jnp.where(cand_active[:, None], nw2, wg2)
-            adjusted = adj1 | adj2
-
-            errv = trial_error_2plane(texels, fmt_p, vals_p, wg1, wg2,
-                                      p2c_vec, Mint_c, cw, profile, u8_mask)
-            best_in_mode = jnp.where(cand_active,
-                                     jnp.minimum(errv, best_in_mode),
-                                     best_in_mode)
-            iters_remaining = cfg.tune_refinement_limit - 1 - r
-            thr = 0.045 * iters_remaining + 1.0
-            catchup = errv > thr * scb["errorval"]
-            scb, took = make_update(errv, wg1, wg2)
-            hit = cand_active & (errv < threshold) & took
-            skip_rest = skip_rest | hit
-            cand_active = cand_active & ~catchup & ~hit & adjusted
+    skip_rest = jnp.zeros((N,), bool)
+    ccarry = (scb, skip_rest, best_in_mode)
+    ccarry, _ = jax.lax.scan(candidate_step, ccarry,
+                             (cand_modes.T, cand_valid.T))
+    scb, _, best_in_mode = ccarry
 
     return scb, best_in_mode

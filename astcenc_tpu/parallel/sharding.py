@@ -59,11 +59,8 @@ def compress_blocks_sharded(ctx, texels, mesh: Mesh | None = None):
         texels = np.concatenate([np.asarray(texels), pad], axis=0)
 
     xs = shard_blocks(mesh, np.asarray(texels, np.float32))
-    out_sharding = NamedSharding(mesh, P("blocks"))
-
-    fn = jax.jit(compress_mod.compress_symbolic_batch,
-                 static_argnums=(0, 1, 2), out_shardings=out_sharding)
-    pcb = fn(ctx._dtables_key, ctx._enc_key, cfgs, xs)
+    pcb = compress_mod.compress_symbolic_batch(ctx._dtables_key,
+                                               ctx._enc_key, cfgs, xs)
     return np.asarray(pcb)[:n]
 
 

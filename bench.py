@@ -58,11 +58,9 @@ def main():
     texels = jax.device_put(texels_np)
     n_texels = texels_np.shape[0] * texels_np.shape[1]
 
-    import functools
-    fn = jax.jit(compress_mod.compress_symbolic_batch,
-                 static_argnums=(0, 1, 2))
+    fn = compress_mod.compress_symbolic_batch
 
-    # Warmup / compile
+    # Warmup / compile (stages are jitted internally)
     out = fn(ctx._dtables_key, ctx._enc_key, cfgs, texels)
     out.block_until_ready()
 
