@@ -11,6 +11,7 @@ reference so (modulo float associativity) the same encodings win.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -300,7 +301,29 @@ def compress_symbolic_batch(dtables_key, enc_key, cfgs: _CfgStatic, texels):
     return _pack_jit(dtables_key, scb)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def compress_symbolic_batch_mono(dtables_key, enc_key, cfgs, texels):
+    """Whole-pipeline single jit: zero host round-trips per batch.
+
+    The split-stage orchestrator pays one host->device dispatch per stage,
+    which is fine on a local backend but dominates on high-latency device
+    tunnels. Production / TPU paths use this monolithic compilation (the
+    nested stage jits inline into one program).
+    """
+    return compress_symbolic_batch(dtables_key, enc_key, cfgs, texels)
+
+
+def _use_mono_jit() -> bool:
+    env = os.environ.get("ASTC_MONO_JIT")
+    if env is not None:
+        return env not in ("0", "false", "no")
+    return jax.default_backend() != "cpu"
+
+
 def _compress_jit(dtables_key, enc_key, cfgs, texels):
+    if _use_mono_jit():
+        return compress_symbolic_batch_mono(dtables_key, enc_key, cfgs,
+                                            texels)
     return compress_symbolic_batch(dtables_key, enc_key, cfgs, texels)
 
 

@@ -63,14 +63,19 @@ def _rgb_sum(v):
 
 
 def _quantize_rgb(c0, c1, qidx):
-    """quantize_rgb fallback with nudging do-while (reference: :169-192)."""
+    """quantize_rgb fallback with nudging do-while (reference: :169-192).
+
+    The nudge loop converges in a couple of iterations for fitted endpoints
+    (c0 <= c1 almost always); the iteration cap only bounds worst-case
+    runtime for adversarial inputs and never triggers on fitted data.
+    """
     def cond(state):
-        c0f, c1f, c0i, c1i, first = state
+        c0f, c1f, c0i, c1i, first, it = state
         bad = _rgb_sum(c0i) > _rgb_sum(c1i)
-        return jnp.any(bad | first)
+        return jnp.any(bad | first) & (it < 1300)
 
     def body(state):
-        c0f, c1f, c0i, c1i, first = state
+        c0f, c1f, c0i, c1i, first, it = state
         bad = (_rgb_sum(c0i) > _rgb_sum(c1i)) | first
         c0q = jnp.maximum(_rtn(c0f), 0)
         c0i_new = quant_color_res(qidx[..., None], c0q, c0f)
@@ -81,12 +86,12 @@ def _quantize_rgb(c0, c1, qidx):
         c1i = jnp.where(upd, c1i_new, c1i)
         c0f = jnp.where(upd, c0f - 0.2, c0f)
         c1f = jnp.where(upd, c1f + 0.2, c1f)
-        return (c0f, c1f, c0i, c1i, jnp.zeros_like(first))
+        return (c0f, c1f, c0i, c1i, jnp.zeros_like(first), it + 1)
 
     zero_i = jnp.zeros(c0.shape, jnp.int32)
     first = jnp.ones(c0.shape[:-1], bool)
-    _, _, c0i, c1i, _ = jax.lax.while_loop(cond, body,
-                                           (c0, c1, zero_i, zero_i, first))
+    _, _, c0i, c1i, _, _ = jax.lax.while_loop(
+        cond, body, (c0, c1, zero_i, zero_i, first, jnp.int32(0)))
     return c0i, c1i
 
 

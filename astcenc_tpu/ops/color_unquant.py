@@ -315,6 +315,11 @@ def unpack_color_endpoints(profile: int, fmt: jnp.ndarray, values: jnp.ndarray):
     outs0 = [None] * 16
     outs1 = [None] * 16
 
+    # LDR profiles decode every HDR format as the error color, so skip the
+    # (expensive) HDR bit-field unpackers entirely — this roughly halves the
+    # op count of the decoder's hottest stage on LDR content.
+    ldr_only = profile in (PRF_LDR, PRF_LDR_SRGB)
+
     # 0: luminance direct
     outs0[0] = jnp.stack([v[0], v[0], v[0], n255], -1)
     outs1[0] = jnp.stack([v[1], v[1], v[1], n255], -1)
@@ -326,28 +331,35 @@ def unpack_color_endpoints(profile: int, fmt: jnp.ndarray, values: jnp.ndarray):
     outs1[1] = jnp.stack([l1, l1, l1, n255], -1)
 
     # 2: HDR luminance large range
-    y0a = v[0] << 4
-    y1a = v[1] << 4
-    y0b = (v[1] << 4) + 8
-    y1b = (v[0] << 4) - 8
-    ge = v[1] >= v[0]
-    y0 = jnp.where(ge, y0a, y0b)
-    y1 = jnp.where(ge, y1a, y1b)
-    h78 = jnp.full_like(v[0], 0x7800)
-    outs0[2] = jnp.stack([y0 << 4, y0 << 4, y0 << 4, h78], -1)
-    outs1[2] = jnp.stack([y1 << 4, y1 << 4, y1 << 4, h78], -1)
+    if ldr_only:
+        err0 = jnp.stack([n255, zero, n255, n255], -1)
+        h78 = jnp.full_like(v[0], 0x7800)
+        for f in (2, 3, 7, 11, 14, 15):
+            outs0[f] = err0
+            outs1[f] = err0
+    if not ldr_only:
+        y0a = v[0] << 4
+        y1a = v[1] << 4
+        y0b = (v[1] << 4) + 8
+        y1b = (v[0] << 4) - 8
+        ge = v[1] >= v[0]
+        y0 = jnp.where(ge, y0a, y0b)
+        y1 = jnp.where(ge, y1a, y1b)
+        h78 = jnp.full_like(v[0], 0x7800)
+        outs0[2] = jnp.stack([y0 << 4, y0 << 4, y0 << 4, h78], -1)
+        outs1[2] = jnp.stack([y1 << 4, y1 << 4, y1 << 4, h78], -1)
 
-    # 3: HDR luminance small range
-    hi_mode = (v[0] & 0x80) != 0
-    y0h = ((v[1] & 0xE0) << 4) | ((v[0] & 0x7F) << 2)
-    y1h = (v[1] & 0x1F) << 2
-    y0l = ((v[1] & 0xF0) << 4) | ((v[0] & 0x7F) << 1)
-    y1l = (v[1] & 0xF) << 1
-    y0 = jnp.where(hi_mode, y0h, y0l)
-    y1 = jnp.where(hi_mode, y1h, y1l)
-    y1 = jnp.minimum(y1 + y0, 0xFFF)
-    outs0[3] = jnp.stack([y0 << 4, y0 << 4, y0 << 4, h78], -1)
-    outs1[3] = jnp.stack([y1 << 4, y1 << 4, y1 << 4, h78], -1)
+        # 3: HDR luminance small range
+        hi_mode = (v[0] & 0x80) != 0
+        y0h = ((v[1] & 0xE0) << 4) | ((v[0] & 0x7F) << 2)
+        y1h = (v[1] & 0x1F) << 2
+        y0l = ((v[1] & 0xF0) << 4) | ((v[0] & 0x7F) << 1)
+        y1l = (v[1] & 0xF) << 1
+        y0 = jnp.where(hi_mode, y0h, y0l)
+        y1 = jnp.where(hi_mode, y1h, y1l)
+        y1 = jnp.minimum(y1 + y0, 0xFFF)
+        outs0[3] = jnp.stack([y0 << 4, y0 << 4, y0 << 4, h78], -1)
+        outs1[3] = jnp.stack([y1 << 4, y1 << 4, y1 << 4, h78], -1)
 
     # 4: luminance alpha direct
     outs0[4] = jnp.stack([v[0], v[0], v[0], v[2]], -1)
@@ -376,7 +388,8 @@ def unpack_color_endpoints(profile: int, fmt: jnp.ndarray, values: jnp.ndarray):
     outs0[6] = jnp.concatenate([sc0[..., :3], n255[..., None]], -1)
 
     # 7: HDR RGB scale
-    outs0[7], outs1[7] = _hdr_rgbo_unpack(values)
+    if not ldr_only:
+        outs0[7], outs1[7] = _hdr_rgbo_unpack(values)
 
     # 8: RGB direct
     e0, e1 = _rgba_unpack(jnp.stack([v[0], v[2], v[4], zero], -1),
@@ -398,7 +411,8 @@ def unpack_color_endpoints(profile: int, fmt: jnp.ndarray, values: jnp.ndarray):
     outs1[10] = out1_10
 
     # 11: HDR RGB
-    outs0[11], outs1[11] = _hdr_rgb_unpack(values)
+    if not ldr_only:
+        outs0[11], outs1[11] = _hdr_rgb_unpack(values)
 
     # 12: RGBA direct
     outs0[12], outs1[12] = _rgba_unpack(
@@ -410,15 +424,16 @@ def unpack_color_endpoints(profile: int, fmt: jnp.ndarray, values: jnp.ndarray):
         jnp.stack([v[0], v[2], v[4], v[6]], -1),
         jnp.stack([v[1], v[3], v[5], v[7]], -1))
 
-    # 14: HDR RGB + LDR alpha
-    e0, e1 = _hdr_rgb_unpack(values)
-    outs0[14] = jnp.concatenate([e0[..., :3], v[6][..., None]], -1)
-    outs1[14] = jnp.concatenate([e1[..., :3], v[7][..., None]], -1)
+    if not ldr_only:
+        # 14: HDR RGB + LDR alpha
+        e0, e1 = _hdr_rgb_unpack(values)
+        outs0[14] = jnp.concatenate([e0[..., :3], v[6][..., None]], -1)
+        outs1[14] = jnp.concatenate([e1[..., :3], v[7][..., None]], -1)
 
-    # 15: HDR RGBA
-    a0, a1 = _hdr_alpha_unpack(v[6], v[7])
-    outs0[15] = jnp.concatenate([e0[..., :3], a0[..., None]], -1)
-    outs1[15] = jnp.concatenate([e1[..., :3], a1[..., None]], -1)
+        # 15: HDR RGBA
+        a0, a1 = _hdr_alpha_unpack(v[6], v[7])
+        outs0[15] = jnp.concatenate([e0[..., :3], a0[..., None]], -1)
+        outs1[15] = jnp.concatenate([e1[..., :3], a1[..., None]], -1)
 
     sel = [fmt[..., None] == f for f in range(16)]
     ep0 = jnp.select(sel, outs0)

@@ -58,9 +58,9 @@ def main():
     texels = jax.device_put(texels_np)
     n_texels = texels_np.shape[0] * texels_np.shape[1]
 
-    fn = compress_mod.compress_symbolic_batch
+    fn = compress_mod.compress_symbolic_batch_mono
 
-    # Warmup / compile (stages are jitted internally)
+    # Warmup / compile (single monolithic program)
     out = fn(ctx._dtables_key, ctx._enc_key, cfgs, texels)
     out.block_until_ready()
 
