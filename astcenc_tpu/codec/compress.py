@@ -392,16 +392,23 @@ def compress_image(ctx, image, swizzle=(0, 1, 2, 3)):
         nz * ny * nx, bz * by * bx, 4)
 
     # Pad the batch to a power-of-two bucket so jit caches compilations
-    # across image sizes (the N axis is the only dynamic shape).
+    # across image sizes, and chunk very large batches to bound the
+    # device working set (the trial pipeline holds several
+    # (chunk, modes/candidates, ...) intermediates).
     n = blocks.shape[0]
-    bucket = max(64, 1 << (n - 1).bit_length())
-    if bucket != n:
-        pad = np.broadcast_to(blocks[:1], (bucket - n,) + blocks.shape[1:])
-        blocks = np.concatenate([blocks, pad], axis=0)
-
-    pcb = _compress_jit(ctx._dtables_key, ctx._enc_key, cfgs,
-                        jnp.asarray(blocks))
-    return np.asarray(pcb)[:n]
+    chunk = int(os.environ.get("ASTC_CHUNK", "16384"))
+    outs = []
+    for lo in range(0, n, chunk):
+        part = blocks[lo:lo + chunk]
+        m = part.shape[0]
+        bucket = max(64, 1 << (m - 1).bit_length())
+        if bucket != m:
+            pad = np.broadcast_to(part[:1], (bucket - m,) + part.shape[1:])
+            part = np.concatenate([part, pad], axis=0)
+        pcb = _compress_jit(ctx._dtables_key, ctx._enc_key, cfgs,
+                            jnp.asarray(part))
+        outs.append(np.asarray(pcb)[:m])
+    return np.concatenate(outs, axis=0)
 
 
 def _apply_load_swizzle(image, swizzle):

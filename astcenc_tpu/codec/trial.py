@@ -60,6 +60,9 @@ class EncoderTables:
     dm_maxprec2: np.ndarray
     dm_refprec1: np.ndarray   # (D,) bitmask
     dm_refprec2: np.ndarray
+    # weight parity classes for grouped realign (D, W) + static class count
+    dm_color: np.ndarray
+    ncolors: int
     # weight quant LUTs
     weight_quant_unquant: np.ndarray  # (12, 32)
     weight_prev_next: np.ndarray      # (12, 65, 2)
@@ -75,6 +78,16 @@ def build_encoder_tables(bsd) -> EncoderTables:
         t = quant.weight_quant_tables(q)
         pn[q] = t["prev_next"]
         wuq[q, :len(t["unscramble_unquant"])] = t["unscramble_unquant"]
+    D, _, W = bsd.dec_dense.shape
+    dm_color = np.zeros((D, W), np.int32)
+    is_3d = bsd.dim[2] > 1
+    for d in range(D):
+        wx, wy, wz = bsd.dm_weight_dims[d]
+        for w in range(int(bsd.dm_weight_count[d])):
+            x = w % wx
+            y = (w // wx) % wy
+            z = w // (wx * wy)
+            dm_color[d, w] = (x & 1) | ((y & 1) << 1) | ((z & 1) << 2)
     return EncoderTables(
         texel_count=bsd.texel_count,
         m1_quant=bsd.bm_quant_mode[:m1_end].copy(),
@@ -94,6 +107,8 @@ def build_encoder_tables(bsd) -> EncoderTables:
         dm_maxprec2=bsd.dm_maxprec_2planes.copy(),
         dm_refprec1=bsd.dm_refprec_1plane.copy(),
         dm_refprec2=bsd.dm_refprec_2planes.copy(),
+        dm_color=dm_color,
+        ncolors=8 if is_3d else 4,
         weight_quant_unquant=wuq,
         weight_prev_next=pn,
         quant_mode_table=quant.quant_mode_table(),
@@ -313,7 +328,7 @@ def compress_trial_1plane(st, et: EncoderTables, cfg, profile: int,
         (wgrid, ep0_c, ep1_c, cand_active, scb, skip_rest, best_in_mode,
          consts) = rcarry
         (mode_c, fmt_req, cq, cq_mod, wq_c, Mint_c, Mf32_c, incid_c,
-         wvalid_c) = consts
+         wvalid_c, color_c) = consts
 
         undec = jnp.einsum("ntw,nw->nt", Mf32_c,
                            wgrid.astype(jnp.float32)) / 64.0
@@ -392,9 +407,9 @@ def compress_trial_1plane(st, et: EncoderTables, cfg, profile: int,
         cand_active = cand_active & ~(first & (catchup0 | hit0))
 
         # Realign + post test
-        new_wgrid, adjusted = realign_ops.realign_decimated(
+        new_wgrid, adjusted = realign_ops.realign_decimated_grouped(
             wgrid, texels, pmask, *_decode_endpoints(profile, fmt4, vals4),
-            cw, pn, wq_c, Mf32_c, incid_c, wvalid_c)
+            cw, pn, wq_c, Mf32_c, incid_c, wvalid_c, color_c, et.ncolors)
         wgrid = jnp.where(cand_active[:, None], new_wgrid, wgrid)
 
         errv = trial_error_1plane(texels, pmask, fmt4, vals4, wgrid, Mint_c,
@@ -431,8 +446,9 @@ def compress_trial_1plane(st, et: EncoderTables, cfg, profile: int,
         incid_c = (Mint_c != 0).astype(jnp.float32)
         wvalid_c = wvalid_j[dm_c]
 
+        color_c = jnp.asarray(et.dm_color)[dm_c]
         consts = (mode_c, fmt_req, cq, cq_mod, wq_c, Mint_c, Mf32_c,
-                  incid_c, wvalid_c)
+                  incid_c, wvalid_c, color_c)
         rcarry = (wgrid, ei["ep0"], ei["ep1"], cand_ok, scb, skip_rest,
                   best_in_mode, consts)
         rcarry, _ = jax.lax.scan(refine_step, rcarry,
@@ -626,7 +642,7 @@ def compress_trial_2planes(st, et: EncoderTables, cfg, profile: int,
         (wg1, wg2, ep0_c, ep1_c, cand_active, scb, skip_rest, best_in_mode,
          consts) = rcarry
         (mode_c, fmt_req, cq, wq_c, Mint_c, Mf32_c, incid_c,
-         wvalid_c) = consts
+         wvalid_c, color_c) = consts
 
         u1 = jnp.einsum("ntw,nw->nt", Mf32_c, wg1.astype(jnp.float32)) / 64.0
         u2 = jnp.einsum("ntw,nw->nt", Mf32_c, wg2.astype(jnp.float32)) / 64.0
@@ -682,12 +698,14 @@ def compress_trial_2planes(st, et: EncoderTables, cfg, profile: int,
         cand_active = cand_active & ~(first & (catchup0 | hit0))
 
         ep0i, ep1i = _decode_endpoints(profile, fmt4, vals4)
-        nw1, adj1 = realign_ops.realign_decimated(
+        nw1, adj1 = realign_ops.realign_decimated_grouped(
             wg1, texels, pmask, ep0i, ep1i, cw, pn, wq_c, Mf32_c,
-            incid_c, wvalid_c, plane_mask=plane2_lanes)
-        nw2, adj2 = realign_ops.realign_decimated(
+            incid_c, wvalid_c, color_c, et.ncolors,
+            plane_mask=plane2_lanes)
+        nw2, adj2 = realign_ops.realign_decimated_grouped(
             wg2, texels, pmask, ep0i, ep1i, cw, pn, wq_c, Mf32_c,
-            incid_c, wvalid_c, plane_mask=~plane2_lanes)
+            incid_c, wvalid_c, color_c, et.ncolors,
+            plane_mask=~plane2_lanes)
         wg1 = jnp.where(cand_active[:, None], nw1, wg1)
         wg2 = jnp.where(cand_active[:, None], nw2, wg2)
         adjusted = adj1 | adj2
@@ -725,8 +743,9 @@ def compress_trial_2planes(st, et: EncoderTables, cfg, profile: int,
         incid_c = (Mint_c != 0).astype(jnp.float32)
         wvalid_c = wvalid_j[dm_c]
 
+        color_c = jnp.asarray(et.dm_color)[dm_c]
         consts = (mode_c, fmt_req, cq, wq_c, Mint_c, Mf32_c, incid_c,
-                  wvalid_c)
+                  wvalid_c, color_c)
         rcarry = (wg1, wg2, ep0m[:, 0], ep1m[:, 0], cand_ok, scb, skip_rest,
                   best_in_mode, consts)
         rcarry, _ = jax.lax.scan(refine_step, rcarry,

@@ -62,37 +62,44 @@ def _rgb_sum(v):
     return v[..., 0] + v[..., 1] + v[..., 2]
 
 
+_NUDGE_STEPS = 32
+
+
 def _quantize_rgb(c0, c1, qidx):
-    """quantize_rgb fallback with nudging do-while (reference: :169-192).
+    """quantize_rgb fallback (reference: :169-192), nudges parallelized.
 
-    The nudge loop converges in a couple of iterations for fitted endpoints
-    (c0 <= c1 almost always); the iteration cap only bounds worst-case
-    runtime for adversarial inputs and never triggers on fitted data.
+    The reference's do-while nudges c0 down / c1 up by 0.2 until the
+    quantized sums order correctly. Run as a data-dependent loop, a single
+    pathological lane would stall the whole batch, so we evaluate all nudge
+    steps in parallel and pick each lane's first valid step (identical
+    result for any lane converging within _NUDGE_STEPS). Lanes needing more
+    nudging collapse to the quantized midpoint both loops converge towards.
     """
-    def cond(state):
-        c0f, c1f, c0i, c1i, first, it = state
-        bad = _rgb_sum(c0i) > _rgb_sum(c1i)
-        return jnp.any(bad | first) & (it < 1300)
+    k = jnp.arange(_NUDGE_STEPS, dtype=jnp.float32)
+    c0k = c0[:, None, :] - 0.2 * k[None, :, None]       # (B, K, 4)
+    c1k = c1[:, None, :] + 0.2 * k[None, :, None]
 
-    def body(state):
-        c0f, c1f, c0i, c1i, first, it = state
-        bad = (_rgb_sum(c0i) > _rgb_sum(c1i)) | first
-        c0q = jnp.maximum(_rtn(c0f), 0)
-        c0i_new = quant_color_res(qidx[..., None], c0q, c0f)
-        c1q = jnp.minimum(_rtn(c1f), 255)
-        c1i_new = quant_color_res(qidx[..., None], c1q, c1f)
-        upd = bad[..., None]
-        c0i = jnp.where(upd, c0i_new, c0i)
-        c1i = jnp.where(upd, c1i_new, c1i)
-        c0f = jnp.where(upd, c0f - 0.2, c0f)
-        c1f = jnp.where(upd, c1f + 0.2, c1f)
-        return (c0f, c1f, c0i, c1i, jnp.zeros_like(first), it + 1)
+    qk = qidx[:, None, None]
+    c0q = jnp.maximum(_rtn(c0k), 0)
+    c0i = quant_color_res(qk, c0q, c0k)
+    c1q = jnp.minimum(_rtn(c1k), 255)
+    c1i = quant_color_res(qk, c1q, c1k)
 
-    zero_i = jnp.zeros(c0.shape, jnp.int32)
-    first = jnp.ones(c0.shape[:-1], bool)
-    _, _, c0i, c1i, _, _ = jax.lax.while_loop(
-        cond, body, (c0, c1, zero_i, zero_i, first, jnp.int32(0)))
-    return c0i, c1i
+    ok = _rgb_sum(c0i) <= _rgb_sum(c1i)                 # (B, K)
+    first_ok = jnp.argmax(ok, axis=1)
+    any_ok = jnp.any(ok, axis=1)
+
+    sel = first_ok[:, None, None]
+    c0_sel = jnp.take_along_axis(c0i, sel, axis=1)[:, 0]
+    c1_sel = jnp.take_along_axis(c1i, sel, axis=1)[:, 0]
+
+    # Fallback: equal endpoints at the quantized midpoint (always ordered)
+    avg = (c0 + c1) * 0.5
+    avg_i = quant_color_res(qidx[..., None],
+                            jnp.clip(_rtn(avg), 0, 255), avg)
+    c0_out = jnp.where(any_ok[:, None], c0_sel, avg_i)
+    c1_out = jnp.where(any_ok[:, None], c1_sel, avg_i)
+    return c0_out, c1_out
 
 
 def _try_rgb_delta(c0, c1, qidx):

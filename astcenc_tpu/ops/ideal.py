@@ -56,16 +56,23 @@ def avgs_and_dirs(texels: jnp.ndarray, pmask: jnp.ndarray,
     cm = jnp.array(comp_mask, dtype=jnp.float32)
     avg, _ = partition_means(texels * cm, pmask)
 
-    dev = (texels[:, :, None, :] - avg[:, None, :, :]) * cm  # (N, T, P, 4)
-    dev = dev * pmask[..., None]
+    # Per channel c: sum over texels of (texel - avg) restricted to texels
+    # whose channel-c deviation is positive, computed without materializing
+    # the (N, T, P, 4) deviation tensor (memory-critical for the partition
+    # search, which folds candidates into the batch axis).
+    avg_t = jnp.einsum("ntp,npc->ntc", pmask, avg)  # (N, T, 4)
+    texc = texels * cm
 
     dirs = []
     norms = []
     for c in range(4):
         if not comp_mask[c]:
             continue
-        pos = (dev[..., c] > 0).astype(jnp.float32)[..., None]
-        s = jnp.sum(dev * pos, axis=1)          # (N, P, 4)
+        posm = pmask * ((texc[:, :, c] - avg_t[:, :, c]) > 0
+                        )[..., None].astype(jnp.float32)    # (N, T, P)
+        s = (jnp.einsum("ntp,ntd->npd", posm, texc)
+             - avg * jnp.sum(posm, axis=1)[..., None])       # (N, P, 4)
+        s = s * cm
         dirs.append(s)
         norms.append(jnp.sum(s * s * cm, axis=-1))  # (N, P)
 

@@ -143,3 +143,76 @@ def realign_decimated(dec_weights, texels, pmask, ep0i, ep1i, channel_weight,
     init = (dec_weights, infill0, jnp.zeros(dec_weights.shape[0], bool))
     (new_w, _, adjusted), _ = jax.lax.scan(body, init, jnp.arange(W))
     return new_w, adjusted
+
+
+def realign_decimated_grouped(dec_weights, texels, pmask, ep0i, ep1i,
+                              channel_weight, prev_next, quant_of_block,
+                              dec_f32, incidence, wvalid, color_of,
+                              ncolors: int, plane_mask=None):
+    """Grouped-parallel realign: weights partitioned into parity classes.
+
+    A texel's interpolation stencil touches one weight of each (x, y[, z])
+    parity class, so weights within a class share no texels and can update
+    simultaneously with Gauss-Seidel semantics intact inside the class.
+    This turns the reference's W-step sequential sweep into `ncolors`
+    (4 for 2D, 8 for 3D) fully-vectorized steps — the TPU-shaped form of
+    realign_weights_decimated (reference: astcenc_compress_symbolic.cpp:
+    188-338; update order differs from the reference raster sweep).
+
+    Args additional to realign_decimated:
+      color_of: (N, W) parity class per weight slot.
+      ncolors: static class count.
+
+    Returns: (new_weights (N, W) int32, adjusted (N,) bool).
+    """
+    cw = jnp.array(channel_weight, jnp.float32)
+    pn = jnp.asarray(prev_next)
+
+    epd = (ep1i - ep0i).astype(jnp.float32)
+    if plane_mask is not None:
+        epd = jnp.where(plane_mask[:, None, :], 0.0, epd)
+    offset = epd * (1.0 / 64.0)
+    base = ep0i.astype(jnp.float32)
+
+    off_t = jnp.einsum("ntp,npc->ntc", pmask, offset)   # (N, T, 4)
+    base_t = jnp.einsum("ntp,npc->ntc", pmask, base)
+    C_t = jnp.sum(off_t * off_t * cw, axis=-1)          # (N, T)
+
+    dec_f32_sq = dec_f32 * dec_f32
+
+    wgrid = dec_weights
+    infilled = jnp.einsum("ntw,nw->nt", dec_f32,
+                          wgrid.astype(jnp.float32))
+    adjusted = jnp.zeros(dec_weights.shape[0], bool)
+
+    for k in range(ncolors):
+        color = base_t + off_t * infilled[..., None]
+        diff = color - texels
+        A_t = jnp.sum(diff * diff * cw, axis=-1)
+        B_t = jnp.sum(diff * off_t * cw, axis=-1)
+
+        SA = jnp.einsum("ntw,nt->nw", incidence, A_t)
+        SB = jnp.einsum("ntw,nt->nw", dec_f32, B_t)
+        SC = jnp.einsum("ntw,nt->nw", dec_f32_sq, C_t)
+
+        pnq = pn[quant_of_block[:, None], jnp.clip(wgrid, 0, 64)]
+        down = pnq[..., 0]
+        up = pnq[..., 1]
+        d_dn = (down - wgrid).astype(jnp.float32)
+        d_up = (up - wgrid).astype(jnp.float32)
+
+        e_base = SA
+        e_dn = SA + 2.0 * d_dn * SB + d_dn * d_dn * SC
+        e_up = SA + 2.0 * d_up * SB + d_up * d_up * SC
+
+        ok = wvalid & (color_of == k)
+        go_up = (e_up < e_base) & (e_up < e_dn) & (wgrid < 64) & ok
+        go_dn = ~go_up & (e_dn < e_base) & (wgrid > 0) & ok
+
+        new_w = jnp.where(go_up, up, jnp.where(go_dn, down, wgrid))
+        delta = (new_w - wgrid).astype(jnp.float32)
+        infilled = infilled + jnp.einsum("ntw,nw->nt", dec_f32, delta)
+        wgrid = new_w
+        adjusted = adjusted | jnp.any(go_up | go_dn, axis=-1)
+
+    return wgrid, adjusted

@@ -55,19 +55,29 @@ def main():
 
     # Pre-blocked input so we time the pure codec step
     texels_np = _blockify(data, block)
-    texels = jax.device_put(texels_np)
     n_texels = texels_np.shape[0] * texels_np.shape[1]
+
+    chunk = int(os.environ.get("ASTC_CHUNK", "16384"))
+    nblocks = texels_np.shape[0]
+    pad = (-nblocks) % chunk if nblocks > chunk else chunk - nblocks
+    if pad:
+        texels_np = np.concatenate(
+            [texels_np, np.broadcast_to(texels_np[:1],
+                                        (pad,) + texels_np.shape[1:])], 0)
+    chunks = [jax.device_put(texels_np[i:i + chunk])
+              for i in range(0, texels_np.shape[0], chunk)]
 
     fn = compress_mod.compress_symbolic_batch_mono
 
     # Warmup / compile (single monolithic program)
-    out = fn(ctx._dtables_key, ctx._enc_key, cfgs, texels)
+    out = fn(ctx._dtables_key, ctx._enc_key, cfgs, chunks[0])
     out.block_until_ready()
 
     reps = int(os.environ.get("ASTC_BENCH_REPS", "5"))
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = fn(ctx._dtables_key, ctx._enc_key, cfgs, texels)
+        for ch in chunks:
+            out = fn(ctx._dtables_key, ctx._enc_key, cfgs, ch)
     out.block_until_ready()
     dt = (time.perf_counter() - t0) / reps
 
