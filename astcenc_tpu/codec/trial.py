@@ -140,12 +140,15 @@ def _decode_endpoints(profile, fmt, values):
 
 
 def trial_error_1plane(texels, pmask, fmt, values, wgrid, Mint, cw, profile,
-                       u8_mask):
+                       u8_mask, ep=None):
     """compute_symbolic_block_difference_1plane, batched.
 
     Reference: astcenc_decompress_symbolic.cpp:407-618.
     """
-    ep0, ep1 = _decode_endpoints(profile, fmt, values)     # (N, P, 4) ints
+    if ep is not None:
+        ep0, ep1 = ep
+    else:
+        ep0, ep1 = _decode_endpoints(profile, fmt, values)  # (N, P, 4) ints
     infill = (8 + jnp.einsum("ntw,nw->nt", Mint,
                              wgrid.astype(jnp.float32))).astype(jnp.int32) >> 4
     ep0_t = jnp.einsum("ntp,npc->ntc", pmask, ep0.astype(jnp.float32))
@@ -313,9 +316,19 @@ def compress_trial_1plane(st, et: EncoderTables, cfg, profile: int,
     cand_modes, cand_valid = fmts.select_candidates(
         total_err, cfg.tune_candidate_limit)
 
-    # --- Candidate refinement loop (lax.scan over candidates and over the
-    # refinement iterations, to keep the compiled graph small) ---------------
-    best_in_mode = jnp.full((N,), jnp.float32(ERROR_CALC_DEFAULT))
+    # --- Candidate refinement: candidates folded into the batch axis ---------
+    # Each candidate's refinement trajectory is independent of the others;
+    # only the reference's take/skip bookkeeping is sequential. We therefore
+    # run all candidates at once on an (N*C) batch, record every
+    # (candidate, round) error/state, and reproduce the reference's
+    # sequential selection order post-hoc (first record beating the quality
+    # threshold wins, else the first global minimum in visit order). The
+    # reference's cross-candidate catch-up early-outs are intentionally not
+    # modeled — they only skip work whose results we compute anyway.
+    C = cfg.tune_candidate_limit
+    R = cfg.tune_refinement_limit
+    NC = N * C
+
     dec_int_j = jnp.asarray(et.dec_int)
     dec_f32_j = jnp.asarray(et.dec_f32)
     wvalid_j = jnp.asarray(wvalid_np)
@@ -323,146 +336,174 @@ def compress_trial_1plane(st, et: EncoderTables, cfg, profile: int,
     mode_index_j = jnp.asarray(et.m1_mode_index)
     quant_m_j = jnp.asarray(quant_m)
     dm_m_j = jnp.asarray(dm_m)
+    color_j = jnp.asarray(et.dm_color)
+
+    cand_c = jnp.clip(cand_modes, 0, M1 - 1)             # (N, C)
+    mode_f = cand_c.reshape(NC)
+    valid_f = (cand_valid & ~scb["finished"][:, None]).reshape(NC)
+
+    def rep(x):
+        return jnp.repeat(x, C, axis=0)
+
+    tex_f = rep(texels)
+    pmask_f = rep(pmask)
+    counts_f = rep(counts)
+
+    dm_f = dm_m_j[mode_f]
+    wq_f = quant_m_j[mode_f]
+    fmt_req_f = jnp.take_along_axis(
+        bb["formats"], cand_c[..., None], axis=1).reshape(NC, pc)
+    cq_f = jnp.clip(jnp.take_along_axis(bb["quant"], cand_c, axis=1),
+                    4, 20).reshape(NC)
+    cqm_f = jnp.clip(jnp.take_along_axis(bb["quant_mod"], cand_c, axis=1),
+                     0, 20).reshape(NC)
+    wgrid0 = jnp.take_along_axis(uq, cand_c[..., None], axis=1).reshape(NC, W)
+    Mint_f = dec_int_j[dm_f]
+    Mf32_f = dec_f32_j[dm_f]
+    incid_f = (Mint_f != 0).astype(jnp.float32)
+    wvalid_f = wvalid_j[dm_f]
+    color_f = color_j[dm_f]
 
     def refine_step(rcarry, r):
-        (wgrid, ep0_c, ep1_c, cand_active, scb, skip_rest, best_in_mode,
-         consts) = rcarry
-        (mode_c, fmt_req, cq, cq_mod, wq_c, Mint_c, Mf32_c, incid_c,
-         wvalid_c, color_c) = consts
+        wgrid, ep0_c, ep1_c, alive = rcarry
 
-        undec = jnp.einsum("ntw,nw->nt", Mf32_c,
+        undec = jnp.einsum("ntw,nw->nt", Mf32_f,
                            wgrid.astype(jnp.float32)) / 64.0
         rc = recompute_ops.recompute_ideal_colors_1plane(
-            texels, pmask, counts, undec, cw, ep0_c, ep1_c,
+            tex_f, pmask_f, counts_f, undec, cw, ep0_c, ep1_c,
             is_hdr=(profile >= 2))
         ep0_c, ep1_c = rc["ep0"], rc["ep1"]
 
         def flat(x):
-            return x[:, :pc].reshape(N * pc, -1)
+            return x[:, :pc].reshape(NC * pc, -1)
 
         fmt_p, vals_p = cpack.pack_color_endpoints_ldr(
             flat(ep0_c)[:, :4], flat(ep1_c)[:, :4], flat(rc["rgbs"])[:, :4],
-            fmt_req.reshape(N * pc), jnp.repeat(cq, pc))
-        fmt_p = fmt_p.reshape(N, pc)
-        vals_p = vals_p.reshape(N, pc, 8)
+            fmt_req_f.reshape(NC * pc), jnp.repeat(cq_f, pc))
+        fmt_p = fmt_p.reshape(NC, pc)
+        vals_p = vals_p.reshape(NC, pc, 8)
 
-        matched = jnp.zeros((N,), bool)
-        use_q = cq
+        matched = jnp.zeros((NC,), bool)
+        use_q = cq_f
         if pc >= 2:
-            all_same = (cq != cq_mod)
+            all_same = (cq_f != cqm_f)
             all_same &= jnp.all(fmt_p == fmt_p[:, :1], axis=1)
             fmt_m, vals_m = cpack.pack_color_endpoints_ldr(
                 flat(ep0_c)[:, :4], flat(ep1_c)[:, :4],
-                flat(rc["rgbs"])[:, :4], fmt_req.reshape(N * pc),
-                jnp.repeat(jnp.clip(cq_mod, 4, 20), pc))
-            fmt_m = fmt_m.reshape(N, pc)
-            vals_m = vals_m.reshape(N, pc, 8)
+                flat(rc["rgbs"])[:, :4], fmt_req_f.reshape(NC * pc),
+                jnp.repeat(jnp.clip(cqm_f, 4, 20), pc))
+            fmt_m = fmt_m.reshape(NC, pc)
+            vals_m = vals_m.reshape(NC, pc, 8)
             same_mod = jnp.all(fmt_m == fmt_m[:, :1], axis=1)
-            matched = all_same & same_mod & (cq_mod >= 4)
+            matched = all_same & same_mod & (cqm_f >= 4)
             fmt_p = jnp.where(matched[:, None], fmt_m, fmt_p)
             vals_p = jnp.where(matched[:, None, None], vals_m, vals_p)
-            use_q = jnp.where(matched, cq_mod, cq)
+            use_q = jnp.where(matched, cqm_f, cq_f)
 
-        fmt4 = jnp.zeros((N, 4), jnp.int32).at[:, :pc].set(fmt_p)
-        vals4 = jnp.zeros((N, 4, 8), jnp.int32).at[:, :pc].set(vals_p)
+        fmt4 = jnp.zeros((NC, 4), jnp.int32).at[:, :pc].set(fmt_p)
+        vals4 = jnp.zeros((NC, 4, 8), jnp.int32).at[:, :pc].set(vals_p)
 
-        def make_update(scb, errv, wg, active):
-            take = active & (errv < scb["errorval"])
-            wg64 = jnp.zeros((N, 64), jnp.int32).at[:, :W].set(wg)
-            new_scb = dict(scb)
-            new_scb["errorval"] = jnp.where(take, errv, scb["errorval"])
-            new_scb["block_type_error"] = scb["block_type_error"] & ~take
-            new_scb["block_mode"] = jnp.where(
-                take, mode_index_j[mode_c], scb["block_mode"])
-            new_scb["quant_mode"] = jnp.where(take, use_q, scb["quant_mode"])
-            new_scb["partition_count"] = jnp.where(take, pc,
-                                                   scb["partition_count"])
-            new_scb["partition_index"] = jnp.where(
-                take, partition_index, scb["partition_index"])
-            new_scb["color_formats"] = jnp.where(take[:, None], fmt4,
-                                                 scb["color_formats"])
-            new_scb["color_formats_matched"] = jnp.where(
-                take, matched, scb["color_formats_matched"])
-            new_scb["color_values"] = jnp.where(take[:, None, None], vals4,
-                                                scb["color_values"])
-            new_scb["plane2_component"] = jnp.where(
-                take, -1, scb["plane2_component"])
-            new_scb["weights"] = jnp.where(take[:, None], wg64,
-                                           scb["weights"])
-            return new_scb, take
+        ep0i, ep1i = _decode_endpoints(profile, fmt4, vals4)
 
-        # Pre-realign test (reference runs this only on iteration 0)
-        first = r == 0
-        errv = trial_error_1plane(texels, pmask, fmt4, vals4, wgrid, Mint_c,
-                                  cw, profile, u8_mask)
-        pre_active = cand_active & first
-        best_in_mode = jnp.where(pre_active,
-                                 jnp.minimum(errv, best_in_mode),
-                                 best_in_mode)
-        thr0 = 0.045 * cfg.tune_refinement_limit + 1.08
-        catchup0 = errv > thr0 * scb["errorval"]
-        scb, took = make_update(scb, errv, wgrid, pre_active)
-        hit0 = pre_active & (errv < threshold) & took
-        skip_rest = skip_rest | hit0
-        cand_active = cand_active & ~(first & (catchup0 | hit0))
+        err_pre = trial_error_1plane(tex_f, pmask_f, fmt4, vals4, wgrid,
+                                     Mint_f, cw, profile, u8_mask,
+                                     ep=(ep0i, ep1i))
+        w_pre = wgrid
 
-        # Realign + post test
         new_wgrid, adjusted = realign_ops.realign_decimated_grouped(
-            wgrid, texels, pmask, *_decode_endpoints(profile, fmt4, vals4),
-            cw, pn, wq_c, Mf32_c, incid_c, wvalid_c, color_c, et.ncolors)
-        wgrid = jnp.where(cand_active[:, None], new_wgrid, wgrid)
+            wgrid, tex_f, pmask_f, ep0i, ep1i,
+            cw, pn, wq_f, Mf32_f, incid_f, wvalid_f, color_f, et.ncolors)
+        wgrid = jnp.where(alive[:, None], new_wgrid, wgrid)
 
-        errv = trial_error_1plane(texels, pmask, fmt4, vals4, wgrid, Mint_c,
-                                  cw, profile, u8_mask)
-        best_in_mode = jnp.where(cand_active,
-                                 jnp.minimum(errv, best_in_mode),
-                                 best_in_mode)
-        iters_remaining = cfg.tune_refinement_limit - 1 - r
-        thr = 0.045 * iters_remaining.astype(jnp.float32) + 1.0
-        catchup = errv > thr * scb["errorval"]
-        scb, took = make_update(scb, errv, wgrid, cand_active)
-        hit = cand_active & (errv < threshold) & took
-        skip_rest = skip_rest | hit
-        cand_active = cand_active & ~catchup & ~hit & adjusted
+        err_post = trial_error_1plane(tex_f, pmask_f, fmt4, vals4, wgrid,
+                                      Mint_f, cw, profile, u8_mask,
+                                      ep=(ep0i, ep1i))
+        err_pre = jnp.where(alive & (r == 0), err_pre, jnp.float32(1e30))
+        err_post = jnp.where(alive, err_post, jnp.float32(1e30))
+        alive = alive & adjusted
 
-        return (wgrid, ep0_c, ep1_c, cand_active, scb, skip_rest,
-                best_in_mode, consts), None
+        ys = (fmt4, vals4, use_q, matched, w_pre, err_pre, wgrid, err_post)
+        return (wgrid, ep0_c, ep1_c, alive), ys
 
-    def candidate_step(ccarry, xs):
-        scb, skip_rest, best_in_mode = ccarry
-        mode_raw, valid_c = xs
-        mode_c = jnp.clip(mode_raw, 0, M1 - 1)
-        cand_ok = valid_c & ~skip_rest & ~scb["finished"]
+    rcarry = (wgrid0, rep(ei["ep0"]), rep(ei["ep1"]), valid_f)
+    _, ys = jax.lax.scan(refine_step, rcarry, jnp.arange(R))
+    (fmt4_r, vals4_r, useq_r, match_r, wpre_r, epre_r, wpost_r,
+     epost_r) = ys
 
-        dm_c = dm_m_j[mode_c]
-        wq_c = quant_m_j[mode_c]
-        fmt_req = bb["formats"][jnp.arange(N), mode_c]   # (N, pc)
-        cq = jnp.clip(bb["quant"][jnp.arange(N), mode_c], 4, 20)
-        cq_mod = jnp.clip(bb["quant_mod"][jnp.arange(N), mode_c], 0, 20)
+    # Assemble records in reference visit order per candidate:
+    #   [r0-pre, r0-post, r1-post, ..., r(R-1)-post]   -> K = R + 1
+    K = R + 1
 
-        wgrid = jnp.take_along_axis(uq, mode_c[:, None, None], axis=1)[:, 0]
-        Mint_c = dec_int_j[dm_c]
-        Mf32_c = dec_f32_j[dm_c]
-        incid_c = (Mint_c != 0).astype(jnp.float32)
-        wvalid_c = wvalid_j[dm_c]
+    def to_rec(pre0, post):
+        # pre0: (NC,) from r=0; post: (R, NC) -> (N, C*K)
+        r = jnp.concatenate([pre0[None], post], axis=0)     # (K, NC)
+        return r.reshape(K, N, C).transpose(1, 2, 0).reshape(N, C * K)
 
-        color_c = jnp.asarray(et.dm_color)[dm_c]
-        consts = (mode_c, fmt_req, cq, cq_mod, wq_c, Mint_c, Mf32_c,
-                  incid_c, wvalid_c, color_c)
-        rcarry = (wgrid, ei["ep0"], ei["ep1"], cand_ok, scb, skip_rest,
-                  best_in_mode, consts)
-        rcarry, _ = jax.lax.scan(refine_step, rcarry,
-                                 jnp.arange(cfg.tune_refinement_limit))
-        _, _, _, _, scb, skip_rest, best_in_mode, _ = rcarry
-        return (scb, skip_rest, best_in_mode), None
+    rec_err = to_rec(epre_r[0], epost_r)
 
-    skip_rest = jnp.zeros((N,), bool)
-    ccarry = (scb, skip_rest, best_in_mode)
-    ccarry, _ = jax.lax.scan(candidate_step, ccarry,
-                             (cand_modes.T, cand_valid.T))
-    scb, _, best_in_mode = ccarry
+    def state_rec(arrs_pre0, arrs_post):
+        # (NC, ...) + (R, NC, ...) -> (N, C*K, ...)
+        rr = jnp.concatenate([arrs_pre0[None], arrs_post], axis=0)
+        shp = rr.shape[2:]
+        return rr.reshape((K, N, C) + shp).transpose(
+            (1, 2, 0) + tuple(range(3, 3 + len(shp)))).reshape(
+            (N, C * K) + shp)
 
-    return scb, best_in_mode
+    rec_fmt = state_rec(fmt4_r[0], fmt4_r)
+    rec_vals = state_rec(vals4_r[0], vals4_r)
+    rec_useq = state_rec(useq_r[0], useq_r)
+    rec_match = state_rec(match_r[0], match_r)
+    rec_w = state_rec(wpre_r[0], wpost_r)
+    rec_mode = jnp.repeat(mode_index_j[cand_c], K, axis=1)   # (N, C*K)
+
+    # Sequential-take reproduction: first record that both improves on the
+    # running best and beats the quality threshold freezes the outcome.
+    prev_best = scb["errorval"]
+    shifted = jnp.concatenate(
+        [prev_best[:, None], rec_err[:, :-1]], axis=1)
+    run_min_before = jax.lax.associative_scan(jnp.minimum, shifted, axis=1)
+    is_take = rec_err < run_min_before
+    is_hit = is_take & (rec_err < threshold[:, None])
+    any_hit = jnp.any(is_hit, axis=1)
+    first_hit = jnp.argmax(is_hit, axis=1)
+    argmin_idx = jnp.argmin(rec_err, axis=1)
+    win_idx = jnp.where(any_hit, first_hit, argmin_idx)
+
+    win_err = jnp.take_along_axis(rec_err, win_idx[:, None], axis=1)[:, 0]
+    best_in_mode = jnp.min(
+        jnp.concatenate([rec_err,
+                         jnp.full((N, 1), jnp.float32(ERROR_CALC_DEFAULT))],
+                        axis=1), axis=1)
+
+    take = (win_err < scb["errorval"]) & ~scb["finished"]
+
+    def gather1(rec):
+        idx = win_idx.reshape(N, *([1] * (rec.ndim - 1)))
+        return jnp.take_along_axis(rec, idx, axis=1)[:, 0]
+
+    wg64 = jnp.zeros((N, 64), jnp.int32).at[:, :W].set(gather1(rec_w))
+    new_scb = dict(scb)
+    new_scb["errorval"] = jnp.where(take, win_err, scb["errorval"])
+    new_scb["block_type_error"] = scb["block_type_error"] & ~take
+    new_scb["block_mode"] = jnp.where(take, gather1(rec_mode),
+                                      scb["block_mode"])
+    new_scb["quant_mode"] = jnp.where(take, gather1(rec_useq),
+                                      scb["quant_mode"])
+    new_scb["partition_count"] = jnp.where(take, pc, scb["partition_count"])
+    new_scb["partition_index"] = jnp.where(take, partition_index,
+                                           scb["partition_index"])
+    new_scb["color_formats"] = jnp.where(take[:, None], gather1(rec_fmt),
+                                         scb["color_formats"])
+    new_scb["color_formats_matched"] = jnp.where(take, gather1(rec_match),
+                                                 scb["color_formats_matched"])
+    new_scb["color_values"] = jnp.where(take[:, None, None],
+                                        gather1(rec_vals),
+                                        scb["color_values"])
+    new_scb["plane2_component"] = jnp.where(take, -1,
+                                            scb["plane2_component"])
+    new_scb["weights"] = jnp.where(take[:, None], wg64, scb["weights"])
+
+    return new_scb, best_in_mode
 
 
 _PLANE_COMPONENT_MASKS = {
@@ -629,134 +670,155 @@ def compress_trial_2planes(st, et: EncoderTables, cfg, profile: int,
     cand_modes, cand_valid = fmts.select_candidates(
         total_err, cfg.tune_candidate_limit)
 
-    # --- Candidate refinement (scan form, as in the 1-plane trial) ------------
-    best_in_mode = jnp.full((N,), jnp.float32(ERROR_CALC_DEFAULT))
+    # --- Candidate refinement: candidates folded into the batch axis ---------
+    # Same post-hoc sequential-selection scheme as the 1-plane trial.
+    C = cfg.tune_candidate_limit
+    R = cfg.tune_refinement_limit
+    NC = N * C
+
     pn = jnp.asarray(et.weight_prev_next)
     mode_index_j = jnp.asarray(et.m2_mode_index)
     quant_m_j = jnp.asarray(quant_m)
     dm_m_j = jnp.asarray(dm_m)
     wvalid_j = jnp.asarray(wvalid_np)
-    plane2_lanes = err_lane  # (N, 4) bool
+    color_j = jnp.asarray(et.dm_color)
+    W = et.dec_int.shape[2]
+
+    cand_c = jnp.clip(cand_modes, 0, M2 - 1)
+    mode_f = cand_c.reshape(NC)
+    valid_f = (cand_valid & (~scb["finished"] & active_in)[:, None]
+               ).reshape(NC)
+
+    def rep(x):
+        return jnp.repeat(x, C, axis=0)
+
+    tex_f = rep(texels)
+    pmask_f = rep(pmask)
+    p2c_f = rep(p2c)
+    mean_f = rep(st["data_mean"])
+    p2lanes_f = rep(err_lane)
+
+    dm_f = dm_m_j[mode_f]
+    wq_f = quant_m_j[mode_f]
+    fmt_req_f = jnp.take_along_axis(
+        bb["formats"][:, :, 0], cand_c, axis=1).reshape(NC)
+    cq_f = jnp.clip(jnp.take_along_axis(bb["quant"], cand_c, axis=1),
+                    4, 20).reshape(NC)
+    wg1_0 = jnp.take_along_axis(uq1, cand_c[..., None], axis=1).reshape(NC, W)
+    wg2_0 = jnp.take_along_axis(uq2, cand_c[..., None], axis=1).reshape(NC, W)
+    Mint_f = jnp.asarray(et.dec_int)[dm_f]
+    Mf32_f = jnp.asarray(et.dec_f32)[dm_f]
+    incid_f = (Mint_f != 0).astype(jnp.float32)
+    wvalid_f = wvalid_j[dm_f]
+    color_f = color_j[dm_f]
 
     def refine_step(rcarry, r):
-        (wg1, wg2, ep0_c, ep1_c, cand_active, scb, skip_rest, best_in_mode,
-         consts) = rcarry
-        (mode_c, fmt_req, cq, wq_c, Mint_c, Mf32_c, incid_c,
-         wvalid_c, color_c) = consts
+        wg1, wg2, ep0_c, ep1_c, alive = rcarry
 
-        u1 = jnp.einsum("ntw,nw->nt", Mf32_c, wg1.astype(jnp.float32)) / 64.0
-        u2 = jnp.einsum("ntw,nw->nt", Mf32_c, wg2.astype(jnp.float32)) / 64.0
+        u1 = jnp.einsum("ntw,nw->nt", Mf32_f, wg1.astype(jnp.float32)) / 64.0
+        u2 = jnp.einsum("ntw,nw->nt", Mf32_f, wg2.astype(jnp.float32)) / 64.0
         rc = recompute_ops.recompute_ideal_colors_2planes(
-            texels, u1, u2, p2c_vec, cw, st["data_mean"], ep0_c, ep1_c,
+            tex_f, u1, u2, p2c_f, cw, mean_f, ep0_c, ep1_c,
             is_hdr=(profile >= 2))
         ep0_c, ep1_c = rc["ep0"], rc["ep1"]
 
         fmt_p, vals_p = cpack.pack_color_endpoints_ldr(
-            ep0_c, ep1_c, rc["rgbs"], fmt_req, cq)
-        fmt4 = jnp.zeros((N, 4), jnp.int32).at[:, 0].set(fmt_p)
-        vals4 = jnp.zeros((N, 4, 8), jnp.int32).at[:, 0].set(vals_p)
-
-        def make_update(scb, errv, w1, w2, active):
-            take = active & (errv < scb["errorval"])
-            W_ = w1.shape[1]
-            wa = jnp.zeros((N, 64), jnp.int32).at[:, :W_].set(w1)
-            wb = jnp.zeros((N, 64), jnp.int32).at[:, :W_].set(w2)
-            new_scb = dict(scb)
-            new_scb["errorval"] = jnp.where(take, errv, scb["errorval"])
-            new_scb["block_type_error"] = scb["block_type_error"] & ~take
-            new_scb["block_mode"] = jnp.where(
-                take, mode_index_j[mode_c], scb["block_mode"])
-            new_scb["quant_mode"] = jnp.where(take, cq, scb["quant_mode"])
-            new_scb["partition_count"] = jnp.where(take, 1,
-                                                   scb["partition_count"])
-            new_scb["partition_index"] = jnp.where(take, 0,
-                                                   scb["partition_index"])
-            new_scb["color_formats"] = jnp.where(take[:, None], fmt4,
-                                                 scb["color_formats"])
-            new_scb["color_formats_matched"] = jnp.where(
-                take, False, scb["color_formats_matched"])
-            new_scb["color_values"] = jnp.where(take[:, None, None], vals4,
-                                                scb["color_values"])
-            new_scb["plane2_component"] = jnp.where(
-                take, p2c, scb["plane2_component"])
-            new_scb["weights"] = jnp.where(take[:, None], wa, scb["weights"])
-            new_scb["weights2"] = jnp.where(take[:, None], wb,
-                                            scb["weights2"])
-            return new_scb, take
-
-        first = r == 0
-        errv = trial_error_2plane(texels, fmt_p, vals_p, wg1, wg2, p2c_vec,
-                                  Mint_c, cw, profile, u8_mask)
-        pre_active = cand_active & first
-        best_in_mode = jnp.where(pre_active, jnp.minimum(errv, best_in_mode),
-                                 best_in_mode)
-        thr0 = 0.045 * cfg.tune_refinement_limit + 1.08
-        catchup0 = errv > thr0 * scb["errorval"]
-        scb, took = make_update(scb, errv, wg1, wg2, pre_active)
-        hit0 = pre_active & (errv < threshold) & took
-        skip_rest = skip_rest | hit0
-        cand_active = cand_active & ~(first & (catchup0 | hit0))
+            ep0_c, ep1_c, rc["rgbs"], fmt_req_f, cq_f)
+        fmt4 = jnp.zeros((NC, 4), jnp.int32).at[:, 0].set(fmt_p)
+        vals4 = jnp.zeros((NC, 4, 8), jnp.int32).at[:, 0].set(vals_p)
 
         ep0i, ep1i = _decode_endpoints(profile, fmt4, vals4)
+
+        err_pre = trial_error_2plane(tex_f, fmt_p, vals_p, wg1, wg2, p2c_f,
+                                     Mint_f, cw, profile, u8_mask)
+        w1_pre, w2_pre = wg1, wg2
+
         nw1, adj1 = realign_ops.realign_decimated_grouped(
-            wg1, texels, pmask, ep0i, ep1i, cw, pn, wq_c, Mf32_c,
-            incid_c, wvalid_c, color_c, et.ncolors,
-            plane_mask=plane2_lanes)
+            wg1, tex_f, pmask_f, ep0i, ep1i, cw, pn, wq_f, Mf32_f,
+            incid_f, wvalid_f, color_f, et.ncolors, plane_mask=p2lanes_f)
         nw2, adj2 = realign_ops.realign_decimated_grouped(
-            wg2, texels, pmask, ep0i, ep1i, cw, pn, wq_c, Mf32_c,
-            incid_c, wvalid_c, color_c, et.ncolors,
-            plane_mask=~plane2_lanes)
-        wg1 = jnp.where(cand_active[:, None], nw1, wg1)
-        wg2 = jnp.where(cand_active[:, None], nw2, wg2)
+            wg2, tex_f, pmask_f, ep0i, ep1i, cw, pn, wq_f, Mf32_f,
+            incid_f, wvalid_f, color_f, et.ncolors, plane_mask=~p2lanes_f)
+        wg1 = jnp.where(alive[:, None], nw1, wg1)
+        wg2 = jnp.where(alive[:, None], nw2, wg2)
         adjusted = adj1 | adj2
 
-        errv = trial_error_2plane(texels, fmt_p, vals_p, wg1, wg2, p2c_vec,
-                                  Mint_c, cw, profile, u8_mask)
-        best_in_mode = jnp.where(cand_active, jnp.minimum(errv, best_in_mode),
-                                 best_in_mode)
-        iters_remaining = cfg.tune_refinement_limit - 1 - r
-        thr = 0.045 * iters_remaining.astype(jnp.float32) + 1.0
-        catchup = errv > thr * scb["errorval"]
-        scb, took = make_update(scb, errv, wg1, wg2, cand_active)
-        hit = cand_active & (errv < threshold) & took
-        skip_rest = skip_rest | hit
-        cand_active = cand_active & ~catchup & ~hit & adjusted
+        err_post = trial_error_2plane(tex_f, fmt_p, vals_p, wg1, wg2, p2c_f,
+                                      Mint_f, cw, profile, u8_mask)
+        err_pre = jnp.where(alive & (r == 0), err_pre, jnp.float32(1e30))
+        err_post = jnp.where(alive, err_post, jnp.float32(1e30))
+        alive = alive & adjusted
 
-        return (wg1, wg2, ep0_c, ep1_c, cand_active, scb, skip_rest,
-                best_in_mode, consts), None
+        ys = (fmt4, vals4, w1_pre, w2_pre, err_pre, wg1, wg2, err_post)
+        return (wg1, wg2, ep0_c, ep1_c, alive), ys
 
-    def candidate_step(ccarry, xs):
-        scb, skip_rest, best_in_mode = ccarry
-        mode_raw, valid_c = xs
-        mode_c = jnp.clip(mode_raw, 0, M2 - 1)
-        cand_ok = valid_c & ~skip_rest & ~scb["finished"] & active_in
+    rcarry = (wg1_0, wg2_0, rep(ep0m[:, 0]), rep(ep1m[:, 0]), valid_f)
+    _, ys = jax.lax.scan(refine_step, rcarry, jnp.arange(R))
+    (fmt4_r, vals4_r, w1pre_r, w2pre_r, epre_r, w1post_r, w2post_r,
+     epost_r) = ys
 
-        dm_c = dm_m_j[mode_c]
-        wq_c = quant_m_j[mode_c]
-        fmt_req = bb["formats"][jnp.arange(N), mode_c, 0]
-        cq = jnp.clip(bb["quant"][jnp.arange(N), mode_c], 4, 20)
+    K = R + 1
 
-        wg1 = jnp.take_along_axis(uq1, mode_c[:, None, None], axis=1)[:, 0]
-        wg2 = jnp.take_along_axis(uq2, mode_c[:, None, None], axis=1)[:, 0]
-        Mint_c = dec_int_j[dm_c]
-        Mf32_c = dec_f32_j[dm_c]
-        incid_c = (Mint_c != 0).astype(jnp.float32)
-        wvalid_c = wvalid_j[dm_c]
+    def state_rec(arrs_pre0, arrs_post):
+        rr = jnp.concatenate([arrs_pre0[None], arrs_post], axis=0)
+        shp = rr.shape[2:]
+        return rr.reshape((K, N, C) + shp).transpose(
+            (1, 2, 0) + tuple(range(3, 3 + len(shp)))).reshape(
+            (N, C * K) + shp)
 
-        color_c = jnp.asarray(et.dm_color)[dm_c]
-        consts = (mode_c, fmt_req, cq, wq_c, Mint_c, Mf32_c, incid_c,
-                  wvalid_c, color_c)
-        rcarry = (wg1, wg2, ep0m[:, 0], ep1m[:, 0], cand_ok, scb, skip_rest,
-                  best_in_mode, consts)
-        rcarry, _ = jax.lax.scan(refine_step, rcarry,
-                                 jnp.arange(cfg.tune_refinement_limit))
-        scb, skip_rest, best_in_mode = rcarry[5], rcarry[6], rcarry[7]
-        return (scb, skip_rest, best_in_mode), None
+    rec_err = state_rec(epre_r[0], epost_r)
+    rec_fmt = state_rec(fmt4_r[0], fmt4_r)
+    rec_vals = state_rec(vals4_r[0], vals4_r)
+    rec_w1 = state_rec(w1pre_r[0], w1post_r)
+    rec_w2 = state_rec(w2pre_r[0], w2post_r)
+    rec_mode = jnp.repeat(mode_index_j[cand_c], K, axis=1)
+    rec_q = jnp.repeat(jnp.clip(jnp.take_along_axis(bb["quant"], cand_c,
+                                                    axis=1), 4, 20),
+                       K, axis=1)
 
-    skip_rest = jnp.zeros((N,), bool)
-    ccarry = (scb, skip_rest, best_in_mode)
-    ccarry, _ = jax.lax.scan(candidate_step, ccarry,
-                             (cand_modes.T, cand_valid.T))
-    scb, _, best_in_mode = ccarry
+    prev_best = scb["errorval"]
+    shifted = jnp.concatenate([prev_best[:, None], rec_err[:, :-1]], axis=1)
+    run_min_before = jax.lax.associative_scan(jnp.minimum, shifted, axis=1)
+    is_take = rec_err < run_min_before
+    is_hit = is_take & (rec_err < threshold[:, None])
+    any_hit = jnp.any(is_hit, axis=1)
+    first_hit = jnp.argmax(is_hit, axis=1)
+    argmin_idx = jnp.argmin(rec_err, axis=1)
+    win_idx = jnp.where(any_hit, first_hit, argmin_idx)
 
-    return scb, best_in_mode
+    win_err = jnp.take_along_axis(rec_err, win_idx[:, None], axis=1)[:, 0]
+    best_in_mode = jnp.min(
+        jnp.concatenate([rec_err,
+                         jnp.full((N, 1), jnp.float32(ERROR_CALC_DEFAULT))],
+                        axis=1), axis=1)
+
+    take = (win_err < scb["errorval"]) & ~scb["finished"] & active_in
+
+    def gather1(rec):
+        idx = win_idx.reshape(N, *([1] * (rec.ndim - 1)))
+        return jnp.take_along_axis(rec, idx, axis=1)[:, 0]
+
+    wa = jnp.zeros((N, 64), jnp.int32).at[:, :W].set(gather1(rec_w1))
+    wb = jnp.zeros((N, 64), jnp.int32).at[:, :W].set(gather1(rec_w2))
+    new_scb = dict(scb)
+    new_scb["errorval"] = jnp.where(take, win_err, scb["errorval"])
+    new_scb["block_type_error"] = scb["block_type_error"] & ~take
+    new_scb["block_mode"] = jnp.where(take, gather1(rec_mode),
+                                      scb["block_mode"])
+    new_scb["quant_mode"] = jnp.where(take, gather1(rec_q),
+                                      scb["quant_mode"])
+    new_scb["partition_count"] = jnp.where(take, 1, scb["partition_count"])
+    new_scb["partition_index"] = jnp.where(take, 0, scb["partition_index"])
+    new_scb["color_formats"] = jnp.where(take[:, None], gather1(rec_fmt),
+                                         scb["color_formats"])
+    new_scb["color_formats_matched"] = jnp.where(
+        take, False, scb["color_formats_matched"])
+    new_scb["color_values"] = jnp.where(take[:, None, None],
+                                        gather1(rec_vals),
+                                        scb["color_values"])
+    new_scb["plane2_component"] = jnp.where(take, p2c,
+                                            scb["plane2_component"])
+    new_scb["weights"] = jnp.where(take[:, None], wa, scb["weights"])
+    new_scb["weights2"] = jnp.where(take[:, None], wb, scb["weights2"])
+
+    return new_scb, best_in_mode
