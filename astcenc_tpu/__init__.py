@@ -13,6 +13,15 @@ __version__ = "0.1.0"
 
 import os as _os
 
+# On single-CPU hosts XLA:CPU's multi-threaded Eigen executor can deadlock
+# waiting for a worker that never runs; force single-threaded execution
+# there (no throughput cost with one core). Must be set before jax import.
+if _os.cpu_count() == 1:
+    _flags = _os.environ.get("XLA_FLAGS", "")
+    if "xla_cpu_multi_thread_eigen" not in _flags:
+        _os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_cpu_multi_thread_eigen=false").strip()
+
 import jax as _jax
 
 # The batched codec graphs are large; persistent compilation caching is

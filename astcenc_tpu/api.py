@@ -140,7 +140,49 @@ def _apply_store_swizzle(img, swizzle, out_type):
     return np.stack([chans[s] for s in swizzle], axis=-1)
 
 
-def compress_image(ctx: Context, image: np.ndarray, swizzle=(0, 1, 2, 3)):
-    """Compress an image to (N, 16) blocks. Implemented in codec.compress."""
+def compress_image(ctx: Context, image: np.ndarray, swizzle=(0, 1, 2, 3),
+                   progress_callback=None):
+    """Compress an image to (N, 16) blocks. Implemented in codec.compress.
+
+    progress_callback, if given, is invoked with a float in [0, 100] after
+    each compressed chunk (the batched analog of the reference's throttled
+    progress callbacks, astcenc.h:320-322).
+    """
     from .codec import compress as compress_mod
-    return compress_mod.compress_image(ctx, image, swizzle)
+    return compress_mod.compress_image(ctx, image, swizzle,
+                                       progress_callback=progress_callback)
+
+
+def compress_reset(ctx: Context) -> None:
+    """Re-arm a context between images.
+
+    The reference re-arms its work-stealing scheduler here
+    (astcenc_compress_reset, astcenc_entry.cpp:1231-1248); the batched
+    pipeline is stateless between images, so this is a no-op provided for
+    API compatibility.
+    """
+
+
+def compress_cancel(ctx: Context) -> None:
+    """Request cancellation of an in-flight compression.
+
+    Chunked host-side execution makes cancellation natural: setting the flag
+    stops submission of further chunks (reference: astcenc_compress_cancel,
+    astcenc_entry.cpp:1251-1271).
+    """
+    ctx._cancel_requested = True
+
+
+def get_error_string(status) -> str:
+    """Human-readable error text (reference: astcenc_get_error_string)."""
+    return str(status)
+
+
+def get_block_info(ctx: Context, block: np.ndarray) -> dict:
+    """Decode the encoding metadata of one physical block.
+
+    The batched analog of astcenc_get_block_info (reference:
+    astcenc_entry.cpp:1401-1517), used by diagnostic tooling.
+    """
+    from .codec import block_info
+    return block_info.get_block_info(ctx, np.asarray(block, np.uint8))

@@ -19,7 +19,7 @@ import numpy as np
 
 from . import api
 from .config import Flags, Profile, Quality, Swizzle
-from .io import astc_file, image_io
+from .io import astc_file, dds, image_io, ktx
 from .utils import metrics
 
 _MODES = {
@@ -216,30 +216,67 @@ def _do_compress(profile, in_path, out_path, opts):
     tstart = time.perf_counter()
     blocks = api.compress_image(ctx, data, opts["swz_encode"])
     ttotal = time.perf_counter() - tstart
-    h, w = data.shape[:2]
-    astc_file.write_astc(out_path, ctx.block_dims, (w, h, 1), blocks)
+    if data.ndim == 4:
+        z, h, w = data.shape[:3]
+    else:
+        h, w = data.shape[:2]
+        z = 1
+    ext = os.path.splitext(out_path)[1].lower()
+    if ext == ".ktx":
+        ktx.write_ktx_compressed(out_path, ctx.block_dims, (w, h, z), blocks,
+                                 srgb=(profile == Profile.LDR_SRGB))
+    else:
+        astc_file.write_astc(out_path, ctx.block_dims, (w, h, z), blocks)
     if not opts["silent"]:
-        mt = (w * h) / max(ttotal, 1e-9) / 1e6
+        mt = (w * h * z) / max(ttotal, 1e-9) / 1e6
         print(f"Coding time: {ttotal:.4f} s ({mt:.2f} MT/s)")
     return 0
 
 
+def _load_compressed(in_path):
+    ext = os.path.splitext(in_path)[1].lower()
+    if ext == ".ktx":
+        kind, bd, idim, payload, _ = ktx.read_ktx(in_path)
+        if kind != "astc":
+            raise CliError("KTX file is not ASTC compressed")
+        return bd, idim, payload
+    return astc_file.read_astc(in_path)
+
+
+def _save_decoded(out_path, data, out_type):
+    ext = os.path.splitext(out_path)[1].lower()
+    if ext == ".ktx":
+        if out_type == "u8":
+            ktx.write_ktx_uncompressed(out_path, data.astype(np.uint8))
+        else:
+            ktx.write_ktx_uncompressed(out_path, data.astype(np.float16))
+    elif ext == ".dds":
+        dds.write_dds(out_path, data if out_type == "u8"
+                      else data.astype(np.float16))
+    else:
+        if data.ndim == 4:
+            data = data[0]
+        image_io.save_image(out_path, data)
+
+
 def _do_decompress(profile, in_path, out_path, opts):
-    bd, idim, blocks = astc_file.read_astc(in_path)
+    bd, idim, blocks = _load_compressed(in_path)
     ctx = api.context_alloc(api.config_init(
         profile, bd[0], bd[1], bd[2], Quality.MEDIUM,
         opts["flags"] | Flags.DECOMPRESS_ONLY))
     ext = os.path.splitext(out_path)[1].lower()
-    out_type = "u8" if ext in (".png", ".tga", ".bmp", ".jpg", ".jpeg") else "f32"
+    ldr = profile in (Profile.LDR, Profile.LDR_SRGB)
+    out_type = "u8" if (ldr or ext in (".png", ".tga", ".bmp", ".jpg",
+                                       ".jpeg")) else "f32"
     img = api.decompress_image(ctx, blocks, idim[0], idim[1], idim[2],
                                out_type=out_type, swizzle=opts["swz_decode"])
-    data = img[0]
     if opts["yflip"]:
-        data = data[::-1]
-    if out_type == "u8":
-        image_io.save_image(out_path, data)
+        img = img[:, ::-1]
+    if ext in (".ktx", ".dds"):
+        _save_decoded(out_path, img, out_type)
     else:
-        image_io.save_image(out_path, data.astype(np.float32))
+        image_io.save_image(out_path, img[0] if out_type == "u8"
+                            else img[0].astype(np.float32))
     return 0
 
 

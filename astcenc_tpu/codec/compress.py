@@ -67,7 +67,7 @@ class _CfgStatic:
         return isinstance(other, _CfgStatic) and self._key() == other._key()
 
 
-def make_block_state(texels, channel_weight):
+def make_block_state(texels, channel_weight, profile: int = 1):
     """Build the per-block state dict from (N, T, 4) texels."""
     data_min = jnp.min(texels, axis=1)
     data_max = jnp.max(texels, axis=1)
@@ -75,7 +75,9 @@ def make_block_state(texels, channel_weight):
     gray_t = ((texels[..., 0] == texels[..., 1])
               & (texels[..., 0] == texels[..., 2]))
     grayscale = jnp.all(gray_t, axis=1)
-    default_alpha = 65535.0
+    # HDR profile alpha defaults to LNS-encoded 1.0 (reference:
+    # image_block::get_default_alpha, astcenc_internal.h:838-841)
+    default_alpha = 30720.0 if profile == 3 else 65535.0
     alpha1 = ((data_min[:, 3] == default_alpha)
               & (data_max[:, 3] == default_alpha))
     uses_alpha = data_min[:, 3] != data_max[:, 3]
@@ -159,13 +161,22 @@ def compress_symbolic_batch(dtables_key, enc_key, cfgs: _CfgStatic, texels):
     bsd = enc_key.bsd
 
     N, T, _ = texels.shape
-    st = make_block_state(texels, cw)
+    st = make_block_state(texels, cw, profile)
 
     # --- Constant color detection --------------------------------------------
     is_const = jnp.all(st["data_min"] == st["data_max"], axis=1)
     tex0 = texels[:, 0, :]
-    const_color = jnp.floor(jnp.clip(tex0 / 65535.0, 0.0, 1.0) * 65535.0
-                            + 0.5).astype(jnp.int32)
+    if profile >= 2:
+        # HDR: encode the constant color as FP16 (reference: :1224-1231)
+        from ..ops import softfloat as sf
+        lns_mask = np.array([True, True, True, profile == 3])
+        f16_lns = sf.lns_to_sf16(tex0.astype(jnp.int32))
+        unorm = tex0 / 65535.0
+        f16_un = sf.float_to_float16(unorm)
+        const_color = jnp.where(jnp.asarray(lns_mask), f16_lns, f16_un)
+    else:
+        const_color = jnp.floor(jnp.clip(tex0 / 65535.0, 0.0, 1.0) * 65535.0
+                                + 0.5).astype(jnp.int32)
 
     # --- Error thresholds ------------------------------------------------------
     ews = float(sum(cw)) * T
@@ -288,8 +299,12 @@ def compress_symbolic_batch(dtables_key, enc_key, cfgs: _CfgStatic, texels):
 
     # --- Fallback + constant blocks ---------------------------------------------
     fallback = scb["block_type_error"] & ~is_const
-    scb["const_u16"] = is_const | fallback
-    scb["const_f16"] = jnp.zeros((N,), bool)
+    if profile >= 2:
+        scb["const_u16"] = fallback
+        scb["const_f16"] = is_const
+    else:
+        scb["const_u16"] = is_const | fallback
+        scb["const_f16"] = jnp.zeros((N,), bool)
     scb["constant_color"] = const_color
     # Avoid packing garbage for const/fallback lanes
     safe_mode = jnp.asarray(int(et.m1_mode_index[0]))
@@ -344,7 +359,8 @@ class EncKey:
         return isinstance(other, EncKey) and other._id == self._id
 
 
-def compress_image(ctx, image, swizzle=(0, 1, 2, 3)):
+def compress_image(ctx, image, swizzle=(0, 1, 2, 3),
+                   progress_callback=None):
     """Compress an image array to (N, 16) blocks, raster order.
 
     Reference flow: astcenc_compress_image (astcenc_entry.cpp:1113) +
@@ -372,8 +388,19 @@ def compress_image(ctx, image, swizzle=(0, 1, 2, 3)):
 
     image = _apply_load_swizzle(image, swizzle)
 
+    profile = int(ctx.config.profile)
     if image.dtype == np.uint8:
         data = image.astype(np.float32) * (65535.0 / 255.0)
+    elif profile >= 2:
+        # HDR profiles store RGB (and alpha for full HDR) in LNS space
+        # (reference: load_image_block, astcenc_image.cpp:192-219)
+        from ..ops import softfloat as sf
+        f = image.astype(np.float32)
+        lns = np.asarray(sf.float_to_lns(jnp.asarray(f)))
+        unorm = np.clip(f, 0.0, 1.0) * 65535.0
+        data = lns.copy()
+        if profile == 2:  # HDR RGB + LDR alpha
+            data[..., 3] = unorm[..., 3]
     else:
         data = np.clip(image.astype(np.float32), 0.0, 1.0) * 65535.0
 
@@ -397,8 +424,13 @@ def compress_image(ctx, image, swizzle=(0, 1, 2, 3)):
     # (chunk, modes/candidates, ...) intermediates).
     n = blocks.shape[0]
     chunk = int(os.environ.get("ASTC_CHUNK", "16384"))
+    ctx._cancel_requested = False
     outs = []
     for lo in range(0, n, chunk):
+        if getattr(ctx, "_cancel_requested", False):
+            # Cooperative cancellation: unprocessed blocks become zeros
+            outs.append(np.zeros((n - lo, 16), np.uint8))
+            break
         part = blocks[lo:lo + chunk]
         m = part.shape[0]
         bucket = max(64, 1 << (m - 1).bit_length())
@@ -408,6 +440,8 @@ def compress_image(ctx, image, swizzle=(0, 1, 2, 3)):
         pcb = _compress_jit(ctx._dtables_key, ctx._enc_key, cfgs,
                             jnp.asarray(part))
         outs.append(np.asarray(pcb)[:m])
+        if progress_callback is not None:
+            progress_callback(min(100.0, 100.0 * (lo + m) / n))
     return np.concatenate(outs, axis=0)
 
 

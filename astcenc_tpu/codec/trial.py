@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from ..ops import angular as ang
 from ..ops import color_pack as cpack
+from ..ops import color_pack_hdr as cph
 from ..ops import color_unquant as cuq
 from ..ops import formats as fmts
 from ..ops import ideal as ideal_ops
@@ -300,8 +301,13 @@ def compress_trial_1plane(st, et: EncoderTables, cfg, profile: int,
     eci = fmts.encoding_choice_errors(
         texels, pmask, counts, ei["ep0"], ei["ep1"], cw,
         st["is_luminance"], st["default_alpha"])
-    be, fm = fmts.color_error_tables_ldr(eci, ei["ep0"], ei["ep1"],
-                                         counts, cw)
+    if profile >= 2:
+        be, fm = fmts.color_error_tables_hdr(eci, ei["ep0"], ei["ep1"],
+                                             counts, cw,
+                                             encode_hdr_alpha=(profile == 3))
+    else:
+        be, fm = fmts.color_error_tables_ldr(eci, ei["ep0"], ei["ep1"],
+                                             counts, cw)
     if pc == 1:
         comb_err, comb_fmt = be[:, 0], fm[:, 0]
         mod_bits = 0
@@ -377,8 +383,9 @@ def compress_trial_1plane(st, et: EncoderTables, cfg, profile: int,
         def flat(x):
             return x[:, :pc].reshape(NC * pc, -1)
 
-        fmt_p, vals_p = cpack.pack_color_endpoints_ldr(
-            flat(ep0_c)[:, :4], flat(ep1_c)[:, :4], flat(rc["rgbs"])[:, :4],
+        fmt_p, vals_p = cph.pack_color_endpoints(
+            profile, flat(ep0_c)[:, :4], flat(ep1_c)[:, :4],
+            flat(rc["rgbs"])[:, :4], flat(rc["rgbo"])[:, :4],
             fmt_req_f.reshape(NC * pc), jnp.repeat(cq_f, pc))
         fmt_p = fmt_p.reshape(NC, pc)
         vals_p = vals_p.reshape(NC, pc, 8)
@@ -388,9 +395,10 @@ def compress_trial_1plane(st, et: EncoderTables, cfg, profile: int,
         if pc >= 2:
             all_same = (cq_f != cqm_f)
             all_same &= jnp.all(fmt_p == fmt_p[:, :1], axis=1)
-            fmt_m, vals_m = cpack.pack_color_endpoints_ldr(
-                flat(ep0_c)[:, :4], flat(ep1_c)[:, :4],
-                flat(rc["rgbs"])[:, :4], fmt_req_f.reshape(NC * pc),
+            fmt_m, vals_m = cph.pack_color_endpoints(
+                profile, flat(ep0_c)[:, :4], flat(ep1_c)[:, :4],
+                flat(rc["rgbs"])[:, :4], flat(rc["rgbo"])[:, :4],
+                fmt_req_f.reshape(NC * pc),
                 jnp.repeat(jnp.clip(cqm_f, 4, 20), pc))
             fmt_m = fmt_m.reshape(NC, pc)
             vals_m = vals_m.reshape(NC, pc, 8)
@@ -662,7 +670,11 @@ def compress_trial_2planes(st, et: EncoderTables, cfg, profile: int,
     eci = fmts.encoding_choice_errors(
         texels, pmask, counts1, ep0m, ep1m, cw,
         st["is_luminance"], st["default_alpha"])
-    be, fm = fmts.color_error_tables_ldr(eci, ep0m, ep1m, counts1, cw)
+    if profile >= 2:
+        be, fm = fmts.color_error_tables_hdr(eci, ep0m, ep1m, counts1, cw,
+                                             encode_hdr_alpha=(profile == 3))
+    else:
+        be, fm = fmts.color_error_tables_ldr(eci, ep0m, ep1m, counts1, cw)
     bb = fmts.best_for_bitcount(be[:, 0], fm[:, 0], et.quant_mode_table,
                                 bitcount_np, 1, 0)
     total_err = jnp.where(qwt_err >= 1e37, jnp.float32(ERROR_CALC_DEFAULT),
@@ -722,8 +734,8 @@ def compress_trial_2planes(st, et: EncoderTables, cfg, profile: int,
             is_hdr=(profile >= 2))
         ep0_c, ep1_c = rc["ep0"], rc["ep1"]
 
-        fmt_p, vals_p = cpack.pack_color_endpoints_ldr(
-            ep0_c, ep1_c, rc["rgbs"], fmt_req_f, cq_f)
+        fmt_p, vals_p = cph.pack_color_endpoints(
+            profile, ep0_c, ep1_c, rc["rgbs"], rc["rgbo"], fmt_req_f, cq_f)
         fmt4 = jnp.zeros((NC, 4), jnp.int32).at[:, 0].set(fmt_p)
         vals4 = jnp.zeros((NC, 4, 8), jnp.int32).at[:, 0].set(vals_p)
 

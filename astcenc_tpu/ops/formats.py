@@ -173,6 +173,102 @@ def color_error_tables_ldr(eci, ep0, ep1, counts, channel_weight):
     return be, fm
 
 
+def color_error_tables_hdr(eci, ep0, ep1, counts, channel_weight,
+                           encode_hdr_alpha: bool):
+    """HDR arm of compute_color_error_for_every_integer_count_and_quant_level
+    (reference: :379-559)."""
+    cw = jnp.array(channel_weight, jnp.float32)
+    ew_rgbsum = jnp.sum(cw[:3])
+    psize = counts.astype(jnp.float32)
+
+    ul = jnp.float32(61440.0)
+    ua = ul if encode_hdr_alpha else jnp.float32(65535.0)
+    offset = jnp.stack([ul, ul, ul, ua])
+    e0h = jnp.maximum(ep0 - offset, 0.0)
+    e1h = jnp.maximum(ep1 - offset, 0.0)
+    e0l = jnp.minimum(ep0, 0.0)
+    e1l = jnp.minimum(ep1, 0.0)
+    sum_range = e0l * e0l + e1l * e1l + e0h * e0h + e1h * e1h
+    rgb_range_error = (jnp.sum(sum_range[..., :3] * cw[:3], axis=-1)
+                       * 0.5 * psize)
+    alpha_range_error = sum_range[..., 3] * cw[3] * 0.5 * psize
+
+    # Statistics driving the RGBO/RGB submode estimates (reference: :382-512)
+    r1, g1, b1 = ep1[..., 0], ep1[..., 1], ep1[..., 2]
+    use_r = (r1 > g1) & (r1 > b1)
+    use_g = ~use_r & (g1 > b1)
+    af = jnp.where(use_r, r1, jnp.where(use_g, g1, b1))
+    cf = jnp.where(use_r, r1 - ep0[..., 0],
+                   jnp.where(use_g, g1 - ep0[..., 1], b1 - ep0[..., 2]))
+    ep1_min = jnp.maximum(jnp.min(ep1[..., :3], axis=-1), 0.0)
+    bf = af - ep1_min
+    prd = ep1[..., :3] - cf[..., None]
+    pdif = prd - ep0[..., :3]
+    df = jnp.max(jnp.abs(pdif), axis=-1)
+
+    b_ = jnp.clip(bf, 0.0, 65536.0).astype(jnp.int32)
+    c_ = jnp.clip(cf, 0.0, 65536.0).astype(jnp.int32)
+    d_ = jnp.clip(df, 0.0, 65536.0).astype(jnp.int32)
+
+    rgbo_mode = jnp.full(b_.shape, 5)
+    rgbo_mode = jnp.where((b_ < 32768) & (c_ < 16384), 4, rgbo_mode)
+    rgbo_mode = jnp.where((b_ < 8192) & (c_ < 16384), 3, rgbo_mode)
+    rgbo_mode = jnp.where((b_ < 2048) & (c_ < 16384), 2, rgbo_mode)
+    rgbo_mode = jnp.where((b_ < 2048) & (c_ < 1024), 1, rgbo_mode)
+    rgbo_mode = jnp.where((b_ < 1024) & (c_ < 4096), 0, rgbo_mode)
+
+    rgb_mode = jnp.full(b_.shape, 8)
+    rgb_mode = jnp.where((b_ < 16384) & (c_ < 8192) & (d_ < 8192), 0, rgb_mode)
+    rgb_mode = jnp.where((b_ < 32768) & (c_ < 8192) & (d_ < 4096), 1, rgb_mode)
+    rgb_mode = jnp.where((b_ < 4096) & (c_ < 8192) & (d_ < 4096), 2, rgb_mode)
+    rgb_mode = jnp.where((b_ < 8192) & (c_ < 8192) & (d_ < 2048), 3, rgb_mode)
+    rgb_mode = jnp.where((b_ < 8192) & (c_ < 2048) & (d_ < 512), 4, rgb_mode)
+    rgb_mode = jnp.where((b_ < 2048) & (c_ < 8192) & (d_ < 1024), 5, rgb_mode)
+    rgb_mode = jnp.where((b_ < 2048) & (c_ < 2048) & (d_ < 256), 6, rgb_mode)
+    rgb_mode = jnp.where((b_ < 1024) & (c_ < 2048) & (d_ < 512), 7, rgb_mode)
+
+    rgbo_scales = jnp.array([4.0, 4.0, 16.0, 64.0, 256.0, 1024.0])
+    rgb_scales = jnp.array([64.0, 64.0, 16.0, 16.0, 4.0, 4.0, 1.0, 1.0,
+                            384.0])
+    mode7mult = rgbo_scales[rgbo_mode] * 0.0015
+    mode11mult = rgb_scales[rgb_mode] * 0.010
+
+    lum_high = jnp.sum(ep1[..., :3], -1) / 3.0
+    lum_low = jnp.sum(ep0[..., :3], -1) / 3.0
+    lumdif = lum_high - lum_low
+    mode23mult = jnp.where(lumdif < 960, 4.0,
+                           jnp.where(lumdif < 3968, 16.0, 128.0)) * 0.0005
+
+    nq = 21
+    be = jnp.full(counts.shape + (nq, 4), jnp.float32(ERROR_CALC_DEFAULT))
+    fm = jnp.zeros(counts.shape + (nq, 4), jnp.int32)
+    fmt8 = (cuq.FMT_HDR_RGBA if encode_hdr_alpha
+            else cuq.FMT_HDR_RGB_LDR_ALPHA)
+    fm = fm.at[..., 3].set(fmt8)
+    fm = fm.at[..., 2].set(cuq.FMT_HDR_RGB)
+    fm = fm.at[..., 1].set(cuq.FMT_HDR_RGB_SCALE)
+    fm = fm.at[..., 0].set(cuq.FMT_HDR_LUMINANCE_LARGE_RANGE)
+
+    for q in range(8, 21):  # QUANT_16 ..= QUANT_256
+        bq = float(_BASELINE_QUANT_ERROR[q - QUANT_6]) * 1.0
+        base_quant_error = bq * psize
+        rgb_q = ew_rgbsum * base_quant_error * 2.0
+        a_q = cw[3] * base_quant_error * 2.0
+        rgba_q = rgb_q + a_q
+
+        be = be.at[..., q, 3].set(rgba_q + rgb_range_error
+                                  + alpha_range_error)
+        be = be.at[..., q, 2].set(rgb_q * mode11mult + rgb_range_error
+                                  + eci["alpha_drop_error"])
+        be = be.at[..., q, 1].set(rgb_q * mode7mult + rgb_range_error
+                                  + eci["alpha_drop_error"]
+                                  + eci["rgb_luma_error"])
+        be = be.at[..., q, 0].set(rgb_q * mode23mult + rgb_range_error
+                                  + eci["alpha_drop_error"]
+                                  + eci["luminance_error"])
+    return be, fm
+
+
 def combine_partitions(be, fm, partition_count: int):
     """Best combined (error, formats) per (quant, total integer-pair count).
 
