@@ -84,11 +84,16 @@ def main(argv=None):
 
     opts = _parse_options(rest, need_block=op in ("c", "t"))
 
-    if op == "d":
-        return _do_decompress(profile, in_path, out_path, opts)
-    if op == "c":
-        return _do_compress(profile, in_path, out_path, opts)
-    return _do_roundtrip(profile, in_path, out_path, opts)
+    try:
+        if op == "d":
+            return _do_decompress(profile, in_path, out_path, opts)
+        if op == "c":
+            return _do_compress(profile, in_path, out_path, opts)
+        return _do_roundtrip(profile, in_path, out_path, opts)
+    except (ValueError, OSError, NotImplementedError) as e:
+        # IO/format failures print as clean errors like the reference CLI
+        # (astcenccli_toplevel.cpp error paths), not tracebacks.
+        raise CliError(str(e))
 
 
 def _parse_options(rest, need_block):

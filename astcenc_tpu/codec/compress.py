@@ -408,6 +408,16 @@ def compress_image(ctx, image, swizzle=(0, 1, 2, 3),
     ny = (H + by - 1) // by
     nz = (Z + bz - 1) // bz
 
+    # Alpha-scale RDO: blocks whose expanded footprint holds ~zero alpha are
+    # replaced with constant transparent black before compression
+    # (reference: the SAT preprocess of astcenc_compute_variance.cpp:48-505
+    # feeding the zero-block substitution in astcenc_entry.cpp:974-1035).
+    zero_blocks = None
+    radius = int(getattr(ctx.config, "a_scale_radius", 0))
+    if radius != 0 and bz == 1 and Z == 1:
+        zero_blocks = _alpha_zero_blocks(data[0, :, :, 3], bx, by, radius,
+                                         nx, ny)
+
     # Edge-clamp pad then reorder into (N, T, 4)
     px, py, pz = nx * bx, ny * by, nz * bz
     idx_x = np.minimum(np.arange(px), W - 1)
@@ -422,6 +432,9 @@ def compress_image(ctx, image, swizzle=(0, 1, 2, 3),
     # across image sizes, and chunk very large batches to bound the
     # device working set (the trial pipeline holds several
     # (chunk, modes/candidates, ...) intermediates).
+    if zero_blocks is not None:
+        blocks = np.where(zero_blocks[:, None, None], 0.0, blocks)
+
     n = blocks.shape[0]
     chunk = int(os.environ.get("ASTC_CHUNK", "16384"))
     ctx._cancel_requested = False
@@ -456,3 +469,37 @@ def _apply_load_swizzle(image, swizzle):
         5: np.full_like(image[..., 0], one),
     }
     return np.stack([chans[s] for s in swizzle], axis=-1)
+
+
+def _alpha_zero_blocks(alpha, bx, by, radius, nx, ny):
+    """(nblocks,) mask of blocks with ~zero alpha in the expanded footprint.
+
+    Uses a summed-area table over the edge-clamped alpha plane, mirroring
+    the reference's Brent-Kung SAT formulation (which is itself a parallel
+    prefix sum; here jnp.cumsum on both axes).
+    """
+    a01 = jnp.asarray(alpha, jnp.float32) / 65535.0
+    r = radius
+    ap = jnp.pad(a01, ((r, r + 1), (r, r + 1)), mode="edge")
+    sat = jnp.cumsum(jnp.cumsum(ap, axis=0), axis=1)
+    sat = jnp.pad(sat, ((1, 0), (1, 0)))
+    H, W = a01.shape
+    k = 2 * r + 1
+
+    ys = jnp.arange(H)
+    xs = jnp.arange(W)
+    y0 = ys[:, None]
+    x0 = xs[None, :]
+    # Window sum of the (2r+1)^2 neighborhood centered at each texel
+    win = (sat[y0 + k, x0 + k] - sat[y0 + k, x0] - sat[y0, x0 + k]
+           + sat[y0, x0])
+    avg = win / float(k * k)
+
+    xf = bx + 2 * (r - 1)
+    yf = by + 2 * (r - 1)
+    threshold = 0.9 / (255.0 * float(xf * yf))
+
+    has_alpha = avg > threshold
+    hp = jnp.pad(has_alpha, ((0, ny * by - H), (0, nx * bx - W)))
+    per_block = hp.reshape(ny, by, nx, bx).any(axis=(1, 3)).reshape(-1)
+    return np.asarray(~per_block)

@@ -66,7 +66,7 @@ def read_dds(path):
     if size != 124:
         raise DdsError("bad DDS header size")
     dz = max(dz, 1)
-    pf = struct.unpack("<8I", raw[80:112])
+    pf = struct.unpack("<8I", raw[76:108])
     off = 4 + 124
     dxgi = None
     if pf[1] & 4 and pf[2] == _DX10_MAGIC:

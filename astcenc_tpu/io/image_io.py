@@ -21,6 +21,32 @@ def load_image(path):
     ext = os.path.splitext(path)[1].lower()
     if ext in (".exr", ".hdr"):
         return _load_hdr(path, ext)
+    if ext == ".dds":
+        from .dds import read_dds
+        data, is_hdr = read_dds(path)
+        if data.shape[0] == 1:
+            data = data[0]
+        return data, is_hdr, 4
+    if ext == ".ktx":
+        from .ktx import read_ktx
+        kind, _, _, payload, is_srgb = read_ktx(path)
+        if kind == "astc":
+            raise ValueError(
+                "KTX file is ASTC-compressed; use decompress mode (-dl)")
+        data = payload
+        ncomp = data.shape[-1]
+        if ncomp < 4:  # pad to RGBA
+            is_f = data.dtype != np.uint8
+            one = 1.0 if is_f else 255
+            pads = [data[..., :1] * 0 + (one if i == 3 else 0)
+                    for i in range(ncomp, 4)]
+            data = np.concatenate([data] + pads, axis=-1)
+        if data.shape[0] == 1:
+            data = data[0]
+        is_hdr = data.dtype in (np.float16, np.float32)
+        if is_hdr:
+            data = data.astype(np.float32)
+        return data, is_hdr, ncomp
     from PIL import Image
     img = Image.open(path)
     ncomp = len(img.getbands())

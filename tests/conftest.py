@@ -12,6 +12,9 @@ import sys
 
 if not os.environ.get("ASTC_TPU_TEST_REAL"):
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # Some PJRT plugin builds override jax_platforms at registration time;
+    # JAX_PLATFORM_NAME still wins, so set both to really stay on CPU.
+    os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
     flags = os.environ.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:
         flags = (flags + " --xla_force_host_platform_device_count=8").strip()
