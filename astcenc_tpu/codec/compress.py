@@ -202,12 +202,17 @@ def compress_symbolic_batch(dtables_key, enc_key, cfgs: _CfgStatic, texels):
         start_trial = 0
 
     errorval_mult = (overshoot, 1.0)
+    full_limit = jnp.full((N,), QUANT_32, jnp.int32)
     for i in range(start_trial, 2):
+        # Both 1-plane passes search the full weight-quant range; the
+        # recorded winner quant only filters the LATER 2-plane and
+        # multi-partition passes (reference: astcenc_compress_symbolic.cpp
+        # :1292-1318 passes QUANT_32 here, quant_limit below).
         scb, errv = _trial1_jit(
             enc_key, cfg, profile, u8_mask, 1, i == 0,
             st, pot1, counts1, pindex1,
             error_threshold * errorval_mult[i] * overshoot,
-            quant_limit, scb)
+            full_limit, scb)
 
         # Track winner's weight quant for later trials
         won = ~scb["block_type_error"]

@@ -78,7 +78,11 @@ def build_encoder_tables(bsd) -> EncoderTables:
     for q in range(12):
         t = quant.weight_quant_tables(q)
         pn[q] = t["prev_next"]
-        wuq[q, :len(t["unscramble_unquant"])] = t["unscramble_unquant"]
+        # Value-rank -> unquant (ascending), NOT symbol order: the quantizer
+        # indexes this by floor(ix * (levels-1)), which assumes monotonic
+        # values (reference quant_to_unquant,
+        # astcenc_weight_quant_xfer_tables.cpp).
+        wuq[q, :len(t["unquant"])] = t["unquant"]
     D, _, W = bsd.dec_dense.shape
     dm_color = np.zeros((D, W), np.int32)
     is_3d = bsd.dim[2] > 1
