@@ -39,3 +39,23 @@ def test_color_tables(oracle, q):
 def test_quant_mode_table(oracle):
     np.testing.assert_array_equal(quant.quant_mode_table(),
                                   np.array(oracle["quant_mode_table"]))
+
+
+def test_encoder_weight_lut_is_value_ordered():
+    """Regression: the encoder's weight LUT must be quant_to_unquant
+    (value-ascending), not symbol order. Symbol order silently breaks only
+    the trit/quint+bits levels (Q6/Q10/Q12/...), which ranked those modes
+    out of every candidate list (reference quant_to_unquant ordering:
+    astcenc_weight_quant_xfer_tables.cpp)."""
+    from astcenc_tpu.codec.trial import build_encoder_tables  # noqa: F401
+    from astcenc_tpu.tables.bsd import build_bsd
+
+    et = build_encoder_tables(build_bsd(6, 6, 1))
+    for q in range(12):
+        levels = ise.QUANT_LEVELS[q]
+        row = et.weight_quant_unquant[q, :levels]
+        assert row[0] == 0 and row[-1] == 64
+        assert np.all(np.diff(row) > 0), f"quant level {q} not ascending"
+    # Spot value from the reference table: QUANT_6 = {0,12,25,39,52,64}
+    np.testing.assert_array_equal(et.weight_quant_unquant[4, :6],
+                                  [0, 12, 25, 39, 52, 64])
