@@ -218,6 +218,28 @@ def compress_trial_1plane(st, et: EncoderTables, cfg, profile: int,
     N, T, _ = texels.shape
     cw = cfg.channel_weights
 
+    # Static mode/decimation-axis slicing. The only_always pass touches a
+    # handful of modes (often one), so shrink every per-mode and
+    # per-decimation tensor to the "always" subset at trace time instead of
+    # masking 200+ modes worth of dead work (reference iterates
+    # block_mode_count_1plane_always, astcenc_compress_symbolic.cpp:433).
+    M1_full = et.m1_quant.shape[0]
+    sel = np.arange(et.m1_always_count if only_always else M1_full)
+    quant_m = et.m1_quant[sel]
+    dm_m_global = et.m1_dm[sel]
+    weight_bits_sel = et.m1_weight_bits[sel]
+    mode_index_sel = et.m1_mode_index[sel]
+    dms_used = np.unique(dm_m_global)
+    dm_remap = np.zeros(et.dec_int.shape[0], np.int32)
+    dm_remap[dms_used] = np.arange(len(dms_used), dtype=np.int32)
+    dm_m = dm_remap[dm_m_global]
+    dec_int_np = et.dec_int[dms_used]
+    dec_sq_np = et.dec_sq[dms_used]
+    dec_f32_np = et.dec_f32[dms_used]
+    dec_wcount_np = et.dec_wcount[dms_used]
+    dm_maxprec1_np = et.dm_maxprec1[dms_used]
+    dm_color_np = et.dm_color[dms_used]
+
     pmask = ideal_ops.partition_onehot(pot)
 
     # --- Ideal endpoints and weights (3 vs 4 components per block) ----------
@@ -244,8 +266,8 @@ def compress_trial_1plane(st, et: EncoderTables, cfg, profile: int,
     # --- Ideal decimated weights --------------------------------------------
     dec_ideal = ideal_ops.ideal_weights_for_decimation(
         ei["weights"], ei["weight_error_scale"],
-        jnp.asarray(et.dec_int), jnp.asarray(et.dec_sq),
-        jnp.asarray(et.dec_f32))                      # (N, D, W)
+        jnp.asarray(dec_int_np), jnp.asarray(dec_sq_np),
+        jnp.asarray(dec_f32_np))                      # (N, D, W)
 
     # --- min weight cutoff ----------------------------------------------------
     ep = (1.0 - ei["ep0"]) / (ei["ep1"] - ei["ep0"])   # (N, P, 4)
@@ -256,27 +278,21 @@ def compress_trial_1plane(st, et: EncoderTables, cfg, profile: int,
     min_wt_cutoff = min_ep                             # (N,)
 
     # --- Angular endpoints ----------------------------------------------------
-    D = et.dec_int.shape[0]
-    W = et.dec_int.shape[2]
+    D = dec_int_np.shape[0]
+    W = dec_int_np.shape[2]
     wslots = np.arange(W)
-    wvalid_np = wslots[None, :] < et.dec_wcount[:, None]
+    wvalid_np = wslots[None, :] < dec_wcount_np[:, None]
     max_wq = jnp.minimum(QUANT_32, quant_limit)        # (N,)
-    maxprec = jnp.asarray(et.dm_maxprec1)[None, :]     # (1, D)
+    maxprec = jnp.asarray(dm_maxprec1_np)[None, :]     # (1, D)
     max_precision = jnp.minimum(jnp.minimum(maxprec, ang.TUNE_MAX_ANGULAR_QUANT),
                                 max_wq[:, None])
     low_v, high_v = ang.angular_endpoints_for_quant_levels(
         dec_ideal, jnp.asarray(wvalid_np), max_precision)  # (N, D, 8)
 
     # --- Per-mode weight quantization + error --------------------------------
-    quant_m = et.m1_quant
-    dm_m = et.m1_dm
     M1 = quant_m.shape[0]
-    if only_always:
-        mode_active_np = np.arange(M1) < et.m1_always_count
-    else:
-        mode_active_np = np.ones(M1, bool)
-    bitcount_np = _FREE_BITS_1PLANE[pc] - et.m1_weight_bits
-    mode_active_np = mode_active_np & (bitcount_np > 0)
+    bitcount_np = _FREE_BITS_1PLANE[pc] - weight_bits_sel
+    mode_active_np = bitcount_np > 0
 
     # low/high per (n, m)
     ang_ok = quant_m <= ang.TUNE_MAX_ANGULAR_QUANT
@@ -293,7 +309,7 @@ def compress_trial_1plane(st, et: EncoderTables, cfg, profile: int,
         jnp.asarray(et.weight_quant_unquant),
         jnp.asarray(_QUANT_LEVELS_M1), jnp.asarray(quant_m))
 
-    decf32_by_mode = jnp.asarray(et.dec_f32[dm_m])     # (M1, T, W)
+    decf32_by_mode = jnp.asarray(dec_f32_np[dm_m])     # (M1, T, W)
     qwt_err = ideal_ops.weight_set_error(
         uqf, ei["weights"], ei["weight_error_scale"], decf32_by_mode)
 
@@ -339,14 +355,14 @@ def compress_trial_1plane(st, et: EncoderTables, cfg, profile: int,
     R = cfg.tune_refinement_limit
     NC = N * C
 
-    dec_int_j = jnp.asarray(et.dec_int)
-    dec_f32_j = jnp.asarray(et.dec_f32)
+    dec_int_j = jnp.asarray(dec_int_np)
+    dec_f32_j = jnp.asarray(dec_f32_np)
     wvalid_j = jnp.asarray(wvalid_np)
     pn = jnp.asarray(et.weight_prev_next)
-    mode_index_j = jnp.asarray(et.m1_mode_index)
+    mode_index_j = jnp.asarray(mode_index_sel)
     quant_m_j = jnp.asarray(quant_m)
     dm_m_j = jnp.asarray(dm_m)
-    color_j = jnp.asarray(et.dm_color)
+    color_j = jnp.asarray(dm_color_np)
 
     cand_c = jnp.clip(cand_modes, 0, M1 - 1)             # (N, C)
     mode_f = cand_c.reshape(NC)

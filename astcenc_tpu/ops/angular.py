@@ -85,24 +85,20 @@ def lowest_and_highest_weight(dec_weights, wvalid, offsets, max_quant_steps):
     minidx = jnp.round(minw[..., None] * rcp - offsets)         # (N, D, 32)
     maxidx = jnp.round(maxw[..., None] * rcp - offsets)
 
-    def body(carry, xs):
-        errv, cutlo, cuthi = carry
-        w_val, w_ok = xs  # (N, D), (D,)
-        sval = w_val[..., None] * rcp - offsets
-        svalrte = jnp.round(sval)
-        diff = sval - svalrte
-        ok = w_ok[None, :, None]
-        errv = errv + jnp.where(ok, diff * diff, 0.0)
-        is_min = (svalrte == minidx) & ok
-        cutlo = cutlo + jnp.where(is_min, 1.0 - 2.0 * diff, 0.0)
-        is_max = (svalrte == maxidx) & ok
-        cuthi = cuthi + jnp.where(is_max, 1.0 + 2.0 * diff, 0.0)
-        return (errv, cutlo, cuthi), None
-
-    zeros = jnp.zeros((N, D, ANGULAR_STEPS), jnp.float32)
-    (errv, cutlo, cuthi), _ = jax.lax.scan(
-        body, (zeros, zeros, zeros),
-        (dec_weights.transpose(2, 0, 1), wvalid.T))
+    # Broadcast over (N, D, W, 32) and reduce over W. A scan over W would
+    # serialize 16-64 tiny device steps; as a plain reduce XLA fuses the
+    # whole thing into one streaming kernel (the intermediate is never
+    # materialized on TPU).
+    sval = (dec_weights[..., None] * rcp[None, None, None, :]
+            - offsets[:, :, None, :])                      # (N, D, W, 32)
+    svalrte = jnp.round(sval)
+    diff = sval - svalrte
+    ok = wvalid[None, :, :, None]
+    errv = jnp.sum(jnp.where(ok, diff * diff, 0.0), axis=2)
+    is_min = (svalrte == minidx[:, :, None, :]) & ok
+    cutlo = jnp.sum(jnp.where(is_min, 1.0 - 2.0 * diff, 0.0), axis=2)
+    is_max = (svalrte == maxidx[:, :, None, :]) & ok
+    cuthi = jnp.sum(jnp.where(is_max, 1.0 + 2.0 * diff, 0.0), axis=2)
 
     span = (maxidx - minidx + 1.0).astype(jnp.int32)
     span = jnp.minimum(span, max_quant_steps[..., None] + 3)
@@ -159,18 +155,27 @@ def angular_endpoints_for_quant_levels(dec_weights, wvalid, max_precision):
     # cutlowhigh@s+2. First-minimum matches the reference's strict-< updates.
     # Candidate axis layout: (32 steps x 4 variants).
     def best_for_span(s):
-        cands = jnp.stack([
-            jnp.where(span == s, err, jnp.float32(1e30)),
-            jnp.where(span == s + 1, e_lo, jnp.float32(1e30)),
-            jnp.where(span == s + 1, e_hi, jnp.float32(1e30)),
-            jnp.where(span == s + 2, e_lohi, jnp.float32(1e30)),
-        ], axis=-1).reshape(*span.shape[:-1], ANGULAR_STEPS * 4)
-        idx = jnp.argmin(cands, axis=-1)
-        best_err = jnp.take_along_axis(cands, idx[..., None], axis=-1)[..., 0]
-        bsi = idx // 4
-        variant = idx % 4
+        # Per step, first-minimum across the 4 variants (strict-< updates ==
+        # keep the earliest variant on ties), then first-minimum across
+        # steps. Written as a fused elementwise chain + one 32-wide argmin:
+        # stacking into a 128-wide candidate axis forced layout copies that
+        # dominated the whole encoder's HBM traffic on TPU.
+        big = jnp.float32(1e30)
+        c0 = jnp.where(span == s, err, big)
+        c1 = jnp.where(span == s + 1, e_lo, big)
+        c2 = jnp.where(span == s + 1, e_hi, big)
+        c3 = jnp.where(span == s + 2, e_lohi, big)
+        vbest = c0
+        vidx = jnp.zeros(c0.shape, jnp.int32)
+        for i, c in ((1, c1), (2, c2), (3, c3)):
+            upd = c < vbest
+            vidx = jnp.where(upd, i, vidx)
+            vbest = jnp.where(upd, c, vbest)
+        bsi = jnp.argmin(vbest, axis=-1)                     # (N, D) first-min
+        best_err = jnp.take_along_axis(vbest, bsi[..., None], axis=-1)[..., 0]
+        variant = jnp.take_along_axis(vidx, bsi[..., None], axis=-1)[..., 0]
         cutflag = ((variant == 1) | (variant == 3)).astype(jnp.float32)
-        found = best_err < jnp.float32(1e30)
+        found = best_err < big
         return bsi, cutflag, found
 
     lows = []

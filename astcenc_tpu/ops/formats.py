@@ -127,49 +127,54 @@ def color_error_tables_ldr(eci, ep0, ep1, counts, channel_weight):
     oe_rgba_base = jnp.where(eci["can_offset_encode"], 0.5, 1.0)
     oe_rgb_base = jnp.where(eci["can_offset_encode"], 0.25, 1.0)
 
+    # Vectorized over the quant axis (QUANT_6..20): per-q .at[].set updates
+    # each rewrote the whole (N, P, 21, 4) table as a dynamic-update-slice,
+    # which multiplied HBM traffic ~15x on TPU.
     nq = 21
-    be = jnp.full(counts.shape + (nq, 4), jnp.float32(ERROR_CALC_DEFAULT))
-    fm = jnp.zeros(counts.shape + (nq, 4), jnp.int32)
-    fm = fm.at[..., 3].set(cuq.FMT_RGBA)
-    fm = fm.at[..., 2].set(cuq.FMT_RGB)
-    fm = fm.at[..., 1].set(cuq.FMT_RGB_SCALE)
-    fm = fm.at[..., 0].set(cuq.FMT_LUMINANCE)
+    NQ = 21 - QUANT_6                                      # quantized levels
+    qv = np.arange(QUANT_6, 21)
+    bq = jnp.asarray(np.array(_BASELINE_QUANT_ERROR, np.float32))  # (NQ,)
+    hi_oe = jnp.asarray(qv >= 19)                          # QUANT_192 = 19
+    oe_rgba = jnp.where(hi_oe, 1.0, oe_rgba_base[..., None])   # (N, P, NQ)
+    oe_rgb = jnp.where(hi_oe, 1.0, oe_rgb_base[..., None])
 
-    for q in range(QUANT_6, 21):
-        bq = float(_BASELINE_QUANT_ERROR[q - QUANT_6])
-        oe_rgba = jnp.where(q >= 19, 1.0, oe_rgba_base)  # QUANT_192 = 19
-        oe_rgb = jnp.where(q >= 19, 1.0, oe_rgb_base)
+    qe_rgb = base_rgb[..., None] * bq                      # (N, P, NQ)
+    qe_rgba = base_rgba[..., None] * bq
 
-        qe_rgb = base_rgb * bq
-        qe_rgba = base_rgba * bq
+    rre = rgb_range_error[..., None]
+    are = alpha_range_error[..., None]
+    adrop = eci["alpha_drop_error"][..., None]
+    rgbserr = eci["rgb_scale_error"][..., None]
+    lumerr = eci["luminance_error"][..., None]
 
-        full_rgba = (qe_rgba * bc_rgba * oe_rgba + rgb_range_error
-                     + alpha_range_error)
-        be = be.at[..., q, 3].set(full_rgba)
+    full_rgba = qe_rgba * bc_rgba[..., None] * oe_rgba + rre + are
+    full_rgb = qe_rgb * bc_rgb[..., None] * oe_rgb + rre + adrop
+    rgbs_alpha = qe_rgba + rgbserr + rre + are
+    use_rgbs_a = rgbs_alpha < full_rgb
+    col2 = jnp.where(use_rgbs_a, rgbs_alpha, full_rgb)
+    fm2 = jnp.where(use_rgbs_a, cuq.FMT_RGB_SCALE_ALPHA, cuq.FMT_RGB)
 
-        full_rgb = (qe_rgb * bc_rgb * oe_rgb + rgb_range_error
-                    + eci["alpha_drop_error"])
-        rgbs_alpha = (qe_rgba + eci["rgb_scale_error"] + rgb_range_error
-                      + alpha_range_error)
-        use_rgbs_a = rgbs_alpha < full_rgb
-        be = be.at[..., q, 2].set(jnp.where(use_rgbs_a, rgbs_alpha, full_rgb))
-        fm = fm.at[..., q, 2].set(jnp.where(use_rgbs_a,
-                                            cuq.FMT_RGB_SCALE_ALPHA,
-                                            cuq.FMT_RGB))
+    ldr_rgbs = qe_rgb + rre + adrop + rgbserr
+    lum_alpha = qe_rgba + rre + are + lumerr
+    use_rgbs = ldr_rgbs < lum_alpha
+    col1 = jnp.where(use_rgbs, ldr_rgbs, lum_alpha)
+    fm1 = jnp.where(use_rgbs, cuq.FMT_RGB_SCALE, cuq.FMT_LUMINANCE_ALPHA)
 
-        ldr_rgbs = (qe_rgb + rgb_range_error + eci["alpha_drop_error"]
-                    + eci["rgb_scale_error"])
-        lum_alpha = (qe_rgba + rgb_range_error + alpha_range_error
-                     + eci["luminance_error"])
-        use_rgbs = ldr_rgbs < lum_alpha
-        be = be.at[..., q, 1].set(jnp.where(use_rgbs, ldr_rgbs, lum_alpha))
-        fm = fm.at[..., q, 1].set(jnp.where(use_rgbs, cuq.FMT_RGB_SCALE,
-                                            cuq.FMT_LUMINANCE_ALPHA))
+    col0 = qe_rgb + rre + adrop + lumerr
 
-        lum_err = (qe_rgb + rgb_range_error + eci["alpha_drop_error"]
-                   + eci["luminance_error"])
-        be = be.at[..., q, 0].set(lum_err)
+    be_hi = jnp.stack([col0, col1, col2, full_rgba], axis=-1)  # (N, P, NQ, 4)
+    fm_hi = jnp.stack([jnp.full(col0.shape, cuq.FMT_LUMINANCE, jnp.int32),
+                       fm1, fm2,
+                       jnp.full(col0.shape, cuq.FMT_RGBA, jnp.int32)],
+                      axis=-1)
 
+    pad = counts.shape + (QUANT_6, 4)
+    be = jnp.concatenate(
+        [jnp.full(pad, jnp.float32(ERROR_CALC_DEFAULT)), be_hi], axis=-2)
+    fm_lo = jnp.broadcast_to(
+        jnp.array([cuq.FMT_LUMINANCE, cuq.FMT_RGB_SCALE, cuq.FMT_RGB,
+                   cuq.FMT_RGBA], jnp.int32), pad)
+    fm = jnp.concatenate([fm_lo, fm_hi], axis=-2)
     return be, fm
 
 
@@ -288,27 +293,40 @@ def combine_partitions(be, fm, partition_count: int):
     S = {2: 7, 3: 10, 4: 13}[pc]
     N = be.shape[0]
 
-    comb_err = jnp.full((N, 21, S), jnp.float32(ERROR_CALC_DEFAULT))
-    comb_fmt = jnp.zeros((N, 21, S, pc), jnp.int32)
-
+    # Group the valid combos by total integer count, take the last-minimum
+    # per group (the reference's <= updates in enumeration order), and stack
+    # the S columns once. The previous per-combo .at[].set formulation
+    # rewrote the whole (N, 21, S) table per combo as dynamic-update-slices.
     import itertools
+    groups = [[] for _ in range(S)]
     for combo in itertools.product(range(4), repeat=pc):
-        if max(combo) - min(combo) > 1:
+        if max(combo) - min(combo) <= 1:
+            groups[sum(combo)].append(combo)
+
+    err_cols = []
+    fmt_cols = []
+    for intcnt in range(S):
+        combos = groups[intcnt]
+        if not combos:
+            err_cols.append(jnp.full((N, 21), jnp.float32(ERROR_CALC_DEFAULT)))
+            fmt_cols.append(jnp.zeros((N, 21, pc), jnp.int32))
             continue
-        intcnt = sum(combo)
-        err = be[:, 0, :, combo[0]]
-        for p in range(1, pc):
-            err = err + be[:, p, :, combo[p]]
-        err = jnp.minimum(err, 1e10)
-        cur = comb_err[:, :, intcnt]
-        take = err <= cur
-        comb_err = comb_err.at[:, :, intcnt].set(jnp.where(take, err, cur))
-        for p in range(pc):
-            fsel = fm[:, p, :, combo[p]]
-            comb_fmt = comb_fmt.at[:, :, intcnt, p].set(
-                jnp.where(take, fsel, comb_fmt[:, :, intcnt, p]))
-    # Entries below quant 6 in the per-partition tables hold default errors,
-    # matching the reference's initialization.
+        errs = jnp.stack(
+            [jnp.minimum(sum(be[:, p, :, c[p]] for p in range(pc)), 1e10)
+             for c in combos], axis=-1)                    # (N, 21, K)
+        K = len(combos)
+        # last-minimum: first-min over the reversed combo axis
+        ridx = jnp.argmin(errs[..., ::-1], axis=-1)
+        idx = K - 1 - ridx
+        err_cols.append(jnp.take_along_axis(errs, idx[..., None],
+                                            axis=-1)[..., 0])
+        fmts = jnp.stack(
+            [jnp.stack([fm[:, p, :, c[p]] for p in range(pc)], axis=-1)
+             for c in combos], axis=-2)                    # (N, 21, K, pc)
+        fmt_cols.append(jnp.take_along_axis(
+            fmts, idx[..., None, None], axis=-2)[..., 0, :])
+    comb_err = jnp.stack(err_cols, axis=-1)                # (N, 21, S)
+    comb_fmt = jnp.stack(fmt_cols, axis=-2)                # (N, 21, S, pc)
     return comb_err, comb_fmt
 
 
