@@ -453,8 +453,16 @@ def compress_trial_1plane(st, et: EncoderTables, cfg, profile: int,
         ys = (fmt4, vals4, use_q, matched, w_pre, err_pre, wgrid, err_post)
         return (wgrid, ep0_c, ep1_c, alive), ys
 
+    # Unrolled refinement (R is a small static count): a lax.scan here costs
+    # a full copy of every carry per iteration on TPU and blocks fusion
+    # across rounds.
     rcarry = (wgrid0, rep(ei["ep0"]), rep(ei["ep1"]), valid_f)
-    _, ys = jax.lax.scan(refine_step, rcarry, jnp.arange(R))
+    ys_rounds = []
+    for r in range(R):
+        rcarry, y = refine_step(rcarry, r)
+        ys_rounds.append(y)
+    ys = tuple(jnp.stack([yr[i] for yr in ys_rounds], axis=0)
+               for i in range(len(ys_rounds[0])))
     (fmt4_r, vals4_r, useq_r, match_r, wpre_r, epre_r, wpost_r,
      epost_r) = ys
 
@@ -784,8 +792,14 @@ def compress_trial_2planes(st, et: EncoderTables, cfg, profile: int,
         ys = (fmt4, vals4, w1_pre, w2_pre, err_pre, wg1, wg2, err_post)
         return (wg1, wg2, ep0_c, ep1_c, alive), ys
 
+    # Unrolled refinement; see the 1-plane variant for rationale.
     rcarry = (wg1_0, wg2_0, rep(ep0m[:, 0]), rep(ep1m[:, 0]), valid_f)
-    _, ys = jax.lax.scan(refine_step, rcarry, jnp.arange(R))
+    ys_rounds = []
+    for r in range(R):
+        rcarry, y = refine_step(rcarry, r)
+        ys_rounds.append(y)
+    ys = tuple(jnp.stack([yr[i] for yr in ys_rounds], axis=0)
+               for i in range(len(ys_rounds[0])))
     (fmt4_r, vals4_r, w1pre_r, w2pre_r, epre_r, w1post_r, w2post_r,
      epost_r) = ys
 

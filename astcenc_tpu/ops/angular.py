@@ -3,8 +3,8 @@
 TPU redesign of the reference's angular quantization search
 (reference: Source/astcenc_weight_align.cpp): the per-weight sincos sums
 become a 64-bin histogram matmul against the sincos tables (MXU), and the
-per-angular-step error scan runs as a lax.scan over the (<= 64) weights with
-all (block, decimation, step) lanes in parallel.
+per-angular-step error accumulation is a fused broadcast+reduce over the
+(block, decimation, weight, step) lattice.
 """
 
 from __future__ import annotations
