@@ -101,7 +101,7 @@ def _parse_options(rest, need_block):
         "block": None, "quality": None, "flags": 0, "swz_encode": (0, 1, 2, 3),
         "swz_decode": (0, 1, 2, 3), "silent": False, "yflip": False,
         "jobs": 0, "repeats": 1, "overrides": {}, "dblimit": None,
-        "a_radius": 0,
+        "a_radius": 0, "dtrace": None, "dimage": None,
     }
     i = 0
     if need_block:
@@ -186,6 +186,10 @@ def _parse_options(rest, need_block):
             ov["tune_candidate_limit"] = int(arg()); i += 1
         elif a == "-dblimit":
             opts["dblimit"] = float(arg()); i += 1
+        elif a == "-dtrace":
+            opts["dtrace"] = arg(); i += 1
+        elif a == "-dimage":
+            opts["dimage"] = arg(); i += 1
         elif a == "-zdim":
             i += 1  # handled by 3D loader (not yet wired)
         elif a == "-mpsnr":
@@ -232,10 +236,72 @@ def _do_compress(profile, in_path, out_path, opts):
                                  srgb=(profile == Profile.LDR_SRGB))
     else:
         astc_file.write_astc(out_path, ctx.block_dims, (w, h, z), blocks)
+    if opts.get("dtrace") or opts.get("dimage"):
+        _write_diagnostics(ctx, blocks, (w, h, z), opts)
     if not opts["silent"]:
         mt = (w * h * z) / max(ttotal, 1e-9) / 1e6
         print(f"Coding time: {ttotal:.4f} s ({mt:.2f} MT/s)")
     return 0
+
+
+def _write_diagnostics(ctx, blocks, dims, opts):
+    """Emit per-block diagnostic artifacts.
+
+    -dtrace: JSON of per-block encoding choices + summary histograms (the
+      analog of the reference's ASTCENC_DIAGNOSTICS trace,
+      astcenccli_toplevel.cpp -dtrace / astcenc_diagnostic_trace.cpp).
+    -dimage: PNG color-coding each texel's partition assignment
+      (astcenccli_toplevel.cpp:1544-1898 diagnostic image dumps).
+    """
+    import json
+
+    from . import api as api_mod
+
+    w, h, z = dims
+    bx, by, bz = ctx.block_dims
+    nx, ny = (w + bx - 1) // bx, (h + by - 1) // by
+    infos = [api_mod.get_block_info(ctx, blocks[i])
+             for i in range(min(len(blocks), nx * ny))]
+
+    if opts.get("dtrace"):
+        hist = {}
+        recs = []
+        for i, bi in enumerate(infos):
+            key = (f"pc{bi['partition_count']}"
+                   f"_pl{2 if bi['block_is_dual_plane'] else 1}")
+            if bi["block_is_constant"]:
+                key = "constant"
+            hist[key] = hist.get(key, 0) + 1
+            recs.append({
+                "block": i,
+                "constant": bi["block_is_constant"],
+                "error": bi["block_is_error"],
+                "partition_count": bi["partition_count"],
+                "partition_index": bi["partition_index"],
+                "dual_plane": bi["block_is_dual_plane"],
+                "weight_grid": [bi["weight_x"], bi["weight_y"],
+                                bi["weight_z"]],
+                "weight_quant_levels": bi["weight_quant_level"],
+            })
+        with open(opts["dtrace"], "w") as f:
+            json.dump({"block_x": bx, "block_y": by, "block_z": bz,
+                       "dim_x": w, "dim_y": h, "summary": hist,
+                       "blocks": recs}, f, indent=1)
+
+    if opts.get("dimage"):
+        palette = np.array([[60, 60, 60], [60, 160, 255], [255, 120, 60],
+                            [120, 255, 60], [255, 60, 200]], np.uint8)
+        img = np.zeros((ny * by, nx * bx, 3), np.uint8)
+        for i, bi in enumerate(infos):
+            byy, bxx = (i // nx) * by, (i % nx) * bx
+            assign = bi.get("partition_assignment")
+            if assign is not None:
+                tile = palette[1 + np.array(assign).reshape(bz, by, bx)[0] % 4]
+            else:
+                pcol = 0 if bi["block_is_constant"] else 1
+                tile = np.broadcast_to(palette[pcol], (by, bx, 3))
+            img[byy:byy + by, bxx:bxx + bx] = tile
+        image_io.save_image(opts["dimage"], img[:h, :w], ncomp=3)
 
 
 def _load_compressed(in_path):

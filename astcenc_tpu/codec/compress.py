@@ -56,6 +56,8 @@ class _CfgStatic:
         self.tune_2plane_early_out_limit_correlation = float(
             cfg.tune_2plane_early_out_limit_correlation)
         self.tune_search_mode0_enable = float(cfg.tune_search_mode0_enable)
+        self.rgbm_scale = (float(cfg.rgbm_m_scale)
+                           if cfg.flags & Flags.MAP_RGBM else 0.0)
 
     def _key(self):
         return tuple(sorted(self.__dict__.items()))

@@ -144,8 +144,30 @@ def _decode_endpoints(profile, fmt, values):
     return ep0, ep1
 
 
+def _rgbm_trial_error(texels, color, cw, rgbm_scale):
+    """RGBM perceptual trial error + M==0 encoding rejection.
+
+    Reference: astcenc_decompress_symbolic.cpp:366-400 — any texel whose
+    decoded M weight is zero invalidates the whole candidate; otherwise the
+    error compares M-demultiplied colors.
+    """
+    m_zero = jnp.any(color[..., 3] == 0.0, axis=-1)          # (N,)
+    scale = jnp.float32(rgbm_scale)
+    dec = color[..., :3] * color[..., 3:4] * scale
+    org = texels[..., :3] * texels[..., 3:4] * scale
+    d3 = jnp.minimum(jnp.abs(org - dec), 1e15)
+    cw3 = jnp.array(cw, jnp.float32)[:3]
+    err_t = jnp.minimum(jnp.sum(d3 * d3 * cw3, -1),
+                        jnp.float32(ERROR_CALC_DEFAULT))
+    err = jnp.sum(err_t, axis=-1)
+    # The reference returns -ERROR_CALC_DEFAULT and the caller flips it to
+    # +ERROR_CALC_DEFAULT while tagging the candidate as an error block; the
+    # selection-visible effect is simply a maximal error.
+    return jnp.where(m_zero, jnp.float32(ERROR_CALC_DEFAULT), err)
+
+
 def trial_error_1plane(texels, pmask, fmt, values, wgrid, Mint, cw, profile,
-                       u8_mask, ep=None):
+                       u8_mask, ep=None, rgbm_scale=0.0):
     """compute_symbolic_block_difference_1plane, batched.
 
     Reference: astcenc_decompress_symbolic.cpp:407-618.
@@ -162,6 +184,8 @@ def trial_error_1plane(texels, pmask, fmt, values, wgrid, Mint, cw, profile,
     color = jnp.floor((ep0_t * (64.0 - w) + ep1_t * w + 32.0) / 64.0)
     if u8_mask:
         color = jnp.floor(color / 256.0) * 257.0
+    if rgbm_scale > 0.0:
+        return _rgbm_trial_error(texels, color, cw, rgbm_scale)
     d = jnp.minimum(jnp.abs(texels - color), 1e15)
     err_t = jnp.minimum(jnp.sum(d * d * jnp.array(cw, jnp.float32), -1),
                         jnp.float32(ERROR_CALC_DEFAULT))
@@ -169,7 +193,7 @@ def trial_error_1plane(texels, pmask, fmt, values, wgrid, Mint, cw, profile,
 
 
 def trial_error_2plane(texels, fmt0, values0, wgrid1, wgrid2, p2c, Mint, cw,
-                       profile, u8_mask):
+                       profile, u8_mask, rgbm_scale=0.0):
     """compute_symbolic_block_difference_2plane, batched (1 partition)."""
     ep0, ep1 = _decode_endpoints(profile, fmt0[:, None], values0[:, None])
     ep0 = ep0[:, 0].astype(jnp.float32)
@@ -188,6 +212,8 @@ def trial_error_2plane(texels, fmt0, values0, wgrid1, wgrid2, p2c, Mint, cw,
                        + ep1[:, None, :] * w + 32.0) / 64.0)
     if u8_mask:
         color = jnp.floor(color / 256.0) * 257.0
+    if rgbm_scale > 0.0:
+        return _rgbm_trial_error(texels, color, cw, rgbm_scale)
     d = jnp.minimum(jnp.abs(texels - color), 1e15)
     err_t = jnp.minimum(jnp.sum(d * d * jnp.array(cw, jnp.float32), -1),
                         jnp.float32(ERROR_CALC_DEFAULT))
@@ -435,7 +461,8 @@ def compress_trial_1plane(st, et: EncoderTables, cfg, profile: int,
 
         err_pre = trial_error_1plane(tex_f, pmask_f, fmt4, vals4, wgrid,
                                      Mint_f, cw, profile, u8_mask,
-                                     ep=(ep0i, ep1i))
+                                     ep=(ep0i, ep1i),
+                                     rgbm_scale=cfg.rgbm_scale)
         w_pre = wgrid
 
         new_wgrid, adjusted = realign_ops.realign_decimated_grouped(
@@ -445,7 +472,8 @@ def compress_trial_1plane(st, et: EncoderTables, cfg, profile: int,
 
         err_post = trial_error_1plane(tex_f, pmask_f, fmt4, vals4, wgrid,
                                       Mint_f, cw, profile, u8_mask,
-                                      ep=(ep0i, ep1i))
+                                      ep=(ep0i, ep1i),
+                                      rgbm_scale=cfg.rgbm_scale)
         err_pre = jnp.where(alive & (r == 0), err_pre, jnp.float32(1e30))
         err_post = jnp.where(alive, err_post, jnp.float32(1e30))
         alive = alive & adjusted
@@ -770,7 +798,8 @@ def compress_trial_2planes(st, et: EncoderTables, cfg, profile: int,
         ep0i, ep1i = _decode_endpoints(profile, fmt4, vals4)
 
         err_pre = trial_error_2plane(tex_f, fmt_p, vals_p, wg1, wg2, p2c_f,
-                                     Mint_f, cw, profile, u8_mask)
+                                     Mint_f, cw, profile, u8_mask,
+                                     rgbm_scale=cfg.rgbm_scale)
         w1_pre, w2_pre = wg1, wg2
 
         nw1, adj1 = realign_ops.realign_decimated_grouped(
@@ -784,7 +813,8 @@ def compress_trial_2planes(st, et: EncoderTables, cfg, profile: int,
         adjusted = adj1 | adj2
 
         err_post = trial_error_2plane(tex_f, fmt_p, vals_p, wg1, wg2, p2c_f,
-                                      Mint_f, cw, profile, u8_mask)
+                                      Mint_f, cw, profile, u8_mask,
+                                      rgbm_scale=cfg.rgbm_scale)
         err_pre = jnp.where(alive & (r == 0), err_pre, jnp.float32(1e30))
         err_post = jnp.where(alive, err_post, jnp.float32(1e30))
         alive = alive & adjusted

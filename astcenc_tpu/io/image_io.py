@@ -79,33 +79,17 @@ def _load_hdr(path, ext):
         rgba = np.concatenate(
             [data, np.ones(data.shape[:2] + (1,), np.float32)], axis=-1)
         return rgba, True, 3
-    # EXR via OpenEXR if available, else a minimal reader is TODO
-    try:
-        import OpenEXR  # type: ignore
-        import Imath  # type: ignore
-    except ImportError as e:
-        raise NotImplementedError(
-            "EXR input requires OpenEXR (not available in this build); "
-            "use .hdr radiance files instead") from e
-    f = OpenEXR.InputFile(path)
-    dw = f.header()["dataWindow"]
-    w = dw.max.x - dw.min.x + 1
-    h = dw.max.y - dw.min.y + 1
-    pt = Imath.PixelType(Imath.PixelType.FLOAT)
-    chans = []
-    names = f.header()["channels"].keys()
-    for c in ("R", "G", "B", "A"):
-        if c in names:
-            chans.append(np.frombuffer(f.channel(c, pt), np.float32).reshape(h, w))
-        else:
-            chans.append(np.full((h, w), 1.0 if c == "A" else 0.0, np.float32))
-    return np.stack(chans, -1), True, len(names)
+    from .exr import read_exr
+    data, ncomp = read_exr(path)
+    return data, True, ncomp
 
 
 def _save_hdr(path, data, ext):
+    data = np.asarray(data, np.float32)
     if ext == ".hdr":
-        return _write_radiance_hdr(path, np.asarray(data, np.float32)[:, :, :3])
-    raise NotImplementedError("EXR output not yet supported")
+        return _write_radiance_hdr(path, data[:, :, :3])
+    from .exr import write_exr
+    return write_exr(path, data, ncomp=4 if data.shape[-1] > 3 else 3)
 
 
 def _read_radiance_hdr(path):

