@@ -22,6 +22,7 @@ from ..ops import color_pack_hdr as cph
 from ..ops import color_unquant as cuq
 from ..ops import formats as fmts
 from ..ops import ideal as ideal_ops
+from ..ops import lut as lut_ops
 from ..ops import realign as realign_ops
 from ..ops import recompute as recompute_ops
 from ..tables import ise, quant
@@ -306,6 +307,7 @@ def compress_trial_1plane(st, et: EncoderTables, cfg, profile: int,
     # --- Angular endpoints ----------------------------------------------------
     D = dec_int_np.shape[0]
     W = dec_int_np.shape[2]
+    M1 = quant_m.shape[0]
     wslots = np.arange(W)
     wvalid_np = wslots[None, :] < dec_wcount_np[:, None]
     max_wq = jnp.minimum(QUANT_32, quant_limit)        # (N,)
@@ -316,20 +318,30 @@ def compress_trial_1plane(st, et: EncoderTables, cfg, profile: int,
         dec_ideal, jnp.asarray(wvalid_np), max_precision)  # (N, D, 8)
 
     # --- Per-mode weight quantization + error --------------------------------
-    M1 = quant_m.shape[0]
     bitcount_np = _FREE_BITS_1PLANE[pc] - weight_bits_sel
     mode_active_np = bitcount_np > 0
 
     # low/high per (n, m)
     ang_ok = quant_m <= ang.TUNE_MAX_ANGULAR_QUANT
     ql_idx = np.where(ang_ok, quant_m, 0)
+    # Static (mode -> (dec, quant)) selections as constant one-hot matmuls;
+    # XLA lowers fancy indexing to gather, which scalarizes on TPU.
+    oh_dq = np.zeros((M1, D * 8), np.float32)
+    oh_dq[np.arange(M1), dm_m * 8 + ql_idx] = 1.0
+    low_flat = low_v.reshape(N, D * 8)
+    high_flat = high_v.reshape(N, D * 8)
     low_m = jnp.where(jnp.asarray(ang_ok),
-                      low_v[:, dm_m, ql_idx], 0.0)     # (N, M1)
+                      jnp.einsum("md,nd->nm", jnp.asarray(oh_dq), low_flat),
+                      0.0)                             # (N, M1)
     high_m = jnp.where(jnp.asarray(ang_ok),
-                       high_v[:, dm_m, ql_idx], 1.0)
+                       jnp.einsum("md,nd->nm", jnp.asarray(oh_dq), high_flat),
+                       1.0)
     high_m = jnp.where(high_m > 1.02 * min_wt_cutoff[:, None], 1.0, high_m)
 
-    dec_ideal_by_mode = dec_ideal[:, dm_m, :]          # (N, M1, W)
+    oh_md = np.zeros((M1, D), np.float32)
+    oh_md[np.arange(M1), dm_m] = 1.0
+    dec_ideal_by_mode = jnp.einsum("md,ndw->nmw", jnp.asarray(oh_md),
+                                   dec_ideal)          # (N, M1, W)
     uqf, uq = ideal_ops.quantize_weights_for_modes(
         dec_ideal_by_mode, low_m, high_m,
         jnp.asarray(et.weight_quant_unquant),
@@ -403,18 +415,28 @@ def compress_trial_1plane(st, et: EncoderTables, cfg, profile: int,
 
     dm_f = dm_m_j[mode_f]
     wq_f = quant_m_j[mode_f]
-    fmt_req_f = jnp.take_along_axis(
-        bb["formats"], cand_c[..., None], axis=1).reshape(NC, pc)
-    cq_f = jnp.clip(jnp.take_along_axis(bb["quant"], cand_c, axis=1),
-                    4, 20).reshape(NC)
-    cqm_f = jnp.clip(jnp.take_along_axis(bb["quant_mod"], cand_c, axis=1),
-                     0, 20).reshape(NC)
-    wgrid0 = jnp.take_along_axis(uq, cand_c[..., None], axis=1).reshape(NC, W)
-    Mint_f = dec_int_j[dm_f]
-    Mf32_f = dec_f32_j[dm_f]
+    # Candidate-axis selections as one-hot contractions (values are small
+    # ints, exact in f32); per-element gathers scalarize on TPU.
+    ohc = lut_ops.onehot(cand_c, M1)                     # (N, C, M1)
+    fmt_req_f = jnp.einsum("ncm,nmp->ncp", ohc,
+                           bb["formats"].astype(jnp.float32)
+                           ).astype(jnp.int32).reshape(NC, pc)
+    cq_f = jnp.clip(jnp.einsum("ncm,nm->nc", ohc,
+                               bb["quant"].astype(jnp.float32)
+                               ).astype(jnp.int32), 4, 20).reshape(NC)
+    cqm_f = jnp.clip(jnp.einsum("ncm,nm->nc", ohc,
+                                bb["quant_mod"].astype(jnp.float32)
+                                ).astype(jnp.int32), 0, 20).reshape(NC)
+    wgrid0 = jnp.einsum("ncm,nmw->ncw", ohc, uq.astype(jnp.float32)
+                        ).astype(jnp.int32).reshape(NC, W)
+    oh_dmf = lut_ops.onehot(dm_f, D)                     # (NC, D)
+    Mint_f = jnp.einsum("nd,dtw->ntw", oh_dmf, dec_int_j)
+    Mf32_f = jnp.einsum("nd,dtw->ntw", oh_dmf, dec_f32_j)
     incid_f = (Mint_f != 0).astype(jnp.float32)
-    wvalid_f = wvalid_j[dm_f]
-    color_f = color_j[dm_f]
+    wvalid_f = jnp.einsum("nd,dw->nw", oh_dmf,
+                          wvalid_j.astype(jnp.float32)) > 0.5
+    color_f = jnp.einsum("nd,dw->nw", oh_dmf,
+                         color_j.astype(jnp.float32)).astype(jnp.int32)
 
     def refine_step(rcarry, r):
         wgrid, ep0_c, ep1_c, alive = rcarry
@@ -533,7 +555,9 @@ def compress_trial_1plane(st, et: EncoderTables, cfg, profile: int,
     argmin_idx = jnp.argmin(rec_err, axis=1)
     win_idx = jnp.where(any_hit, first_hit, argmin_idx)
 
-    win_err = jnp.take_along_axis(rec_err, win_idx[:, None], axis=1)[:, 0]
+    CK = rec_err.shape[1]
+    oh_win = lut_ops.onehot(win_idx, CK)                  # (N, CK)
+    win_err = jnp.einsum("nk,nk->n", oh_win, rec_err)
     best_in_mode = jnp.min(
         jnp.concatenate([rec_err,
                          jnp.full((N, 1), jnp.float32(ERROR_CALC_DEFAULT))],
@@ -542,8 +566,11 @@ def compress_trial_1plane(st, et: EncoderTables, cfg, profile: int,
     take = (win_err < scb["errorval"]) & ~scb["finished"]
 
     def gather1(rec):
-        idx = win_idx.reshape(N, *([1] * (rec.ndim - 1)))
-        return jnp.take_along_axis(rec, idx, axis=1)[:, 0]
+        # One-hot contraction over the record axis; rec payloads are small
+        # ints (modes, formats, quants, weights 0..64), exact in f32.
+        ohw = oh_win.reshape((N, CK) + (1,) * (rec.ndim - 2))
+        out = jnp.sum(ohw * rec.astype(jnp.float32), axis=1)
+        return out.astype(rec.dtype) if rec.dtype != jnp.float32 else out
 
     wg64 = jnp.zeros((N, 64), jnp.int32).at[:, :W].set(gather1(rec_w))
     new_scb = dict(scb)
@@ -693,21 +720,34 @@ def compress_trial_2planes(st, et: EncoderTables, cfg, profile: int,
 
     ang_ok = quant_m <= ang.TUNE_MAX_ANGULAR_QUANT
     ql_idx = np.where(ang_ok, quant_m, 0)
+    D2 = et.dec_int.shape[0]
+    oh_dq = np.zeros((M2, D2 * 8), np.float32)
+    oh_dq[np.arange(M2), dm_m * 8 + ql_idx] = 1.0
+    oh_dq_j = jnp.asarray(oh_dq)
+    oh_md = np.zeros((M2, D2), np.float32)
+    oh_md[np.arange(M2), dm_m] = 1.0
+    oh_md_j = jnp.asarray(oh_md)
 
     def mode_range(low_v, high_v, cutoff):
-        lo = jnp.where(jnp.asarray(ang_ok), low_v[:, dm_m, ql_idx], 0.0)
-        hi = jnp.where(jnp.asarray(ang_ok), high_v[:, dm_m, ql_idx], 1.0)
+        lo = jnp.where(jnp.asarray(ang_ok),
+                       jnp.einsum("md,nd->nm", oh_dq_j,
+                                  low_v.reshape(N, D2 * 8)), 0.0)
+        hi = jnp.where(jnp.asarray(ang_ok),
+                       jnp.einsum("md,nd->nm", oh_dq_j,
+                                  high_v.reshape(N, D2 * 8)), 1.0)
         hi = jnp.where(hi > 1.02 * cutoff[:, None], 1.0, hi)
         return lo, hi
 
     lo1m, hi1m = mode_range(low1, high1, min_wt_cutoff1)
     lo2m, hi2m = mode_range(low2, high2, min_wt_cutoff2)
 
+    di1_m = jnp.einsum("md,ndw->nmw", oh_md_j, di1)
+    di2_m = jnp.einsum("md,ndw->nmw", oh_md_j, di2)
     uqf1, uq1 = ideal_ops.quantize_weights_for_modes(
-        di1[:, dm_m, :], lo1m, hi1m, jnp.asarray(et.weight_quant_unquant),
+        di1_m, lo1m, hi1m, jnp.asarray(et.weight_quant_unquant),
         jnp.asarray(_QUANT_LEVELS_M1), jnp.asarray(quant_m))
     uqf2, uq2 = ideal_ops.quantize_weights_for_modes(
-        di2[:, dm_m, :], lo2m, hi2m, jnp.asarray(et.weight_quant_unquant),
+        di2_m, lo2m, hi2m, jnp.asarray(et.weight_quant_unquant),
         jnp.asarray(_QUANT_LEVELS_M1), jnp.asarray(quant_m))
 
     decf32_by_mode = jnp.asarray(et.dec_f32[dm_m])
@@ -768,17 +808,25 @@ def compress_trial_2planes(st, et: EncoderTables, cfg, profile: int,
 
     dm_f = dm_m_j[mode_f]
     wq_f = quant_m_j[mode_f]
-    fmt_req_f = jnp.take_along_axis(
-        bb["formats"][:, :, 0], cand_c, axis=1).reshape(NC)
-    cq_f = jnp.clip(jnp.take_along_axis(bb["quant"], cand_c, axis=1),
-                    4, 20).reshape(NC)
-    wg1_0 = jnp.take_along_axis(uq1, cand_c[..., None], axis=1).reshape(NC, W)
-    wg2_0 = jnp.take_along_axis(uq2, cand_c[..., None], axis=1).reshape(NC, W)
-    Mint_f = jnp.asarray(et.dec_int)[dm_f]
-    Mf32_f = jnp.asarray(et.dec_f32)[dm_f]
+    ohc = lut_ops.onehot(cand_c, M2)                     # (N, C, M2)
+    fmt_req_f = jnp.einsum("ncm,nm->nc", ohc,
+                           bb["formats"][:, :, 0].astype(jnp.float32)
+                           ).astype(jnp.int32).reshape(NC)
+    cq_f = jnp.clip(jnp.einsum("ncm,nm->nc", ohc,
+                               bb["quant"].astype(jnp.float32)
+                               ).astype(jnp.int32), 4, 20).reshape(NC)
+    wg1_0 = jnp.einsum("ncm,nmw->ncw", ohc, uq1.astype(jnp.float32)
+                       ).astype(jnp.int32).reshape(NC, W)
+    wg2_0 = jnp.einsum("ncm,nmw->ncw", ohc, uq2.astype(jnp.float32)
+                       ).astype(jnp.int32).reshape(NC, W)
+    oh_dmf = lut_ops.onehot(dm_f, D2)                    # (NC, D2)
+    Mint_f = jnp.einsum("nd,dtw->ntw", oh_dmf, jnp.asarray(et.dec_int))
+    Mf32_f = jnp.einsum("nd,dtw->ntw", oh_dmf, jnp.asarray(et.dec_f32))
     incid_f = (Mint_f != 0).astype(jnp.float32)
-    wvalid_f = wvalid_j[dm_f]
-    color_f = color_j[dm_f]
+    wvalid_f = jnp.einsum("nd,dw->nw", oh_dmf,
+                          wvalid_j.astype(jnp.float32)) > 0.5
+    color_f = jnp.einsum("nd,dw->nw", oh_dmf,
+                         color_j.astype(jnp.float32)).astype(jnp.int32)
 
     def refine_step(rcarry, r):
         wg1, wg2, ep0_c, ep1_c, alive = rcarry
@@ -862,7 +910,9 @@ def compress_trial_2planes(st, et: EncoderTables, cfg, profile: int,
     argmin_idx = jnp.argmin(rec_err, axis=1)
     win_idx = jnp.where(any_hit, first_hit, argmin_idx)
 
-    win_err = jnp.take_along_axis(rec_err, win_idx[:, None], axis=1)[:, 0]
+    CK = rec_err.shape[1]
+    oh_win = lut_ops.onehot(win_idx, CK)                  # (N, CK)
+    win_err = jnp.einsum("nk,nk->n", oh_win, rec_err)
     best_in_mode = jnp.min(
         jnp.concatenate([rec_err,
                          jnp.full((N, 1), jnp.float32(ERROR_CALC_DEFAULT))],
@@ -871,8 +921,9 @@ def compress_trial_2planes(st, et: EncoderTables, cfg, profile: int,
     take = (win_err < scb["errorval"]) & ~scb["finished"] & active_in
 
     def gather1(rec):
-        idx = win_idx.reshape(N, *([1] * (rec.ndim - 1)))
-        return jnp.take_along_axis(rec, idx, axis=1)[:, 0]
+        ohw = oh_win.reshape((N, CK) + (1,) * (rec.ndim - 2))
+        out = jnp.sum(ohw * rec.astype(jnp.float32), axis=1)
+        return out.astype(rec.dtype) if rec.dtype != jnp.float32 else out
 
     wa = jnp.zeros((N, 64), jnp.int32).at[:, :W].set(gather1(rec_w1))
     wb = jnp.zeros((N, 64), jnp.int32).at[:, :W].set(gather1(rec_w2))

@@ -172,8 +172,12 @@ def angular_endpoints_for_quant_levels(dec_weights, wvalid, max_precision):
             vidx = jnp.where(upd, i, vidx)
             vbest = jnp.where(upd, c, vbest)
         bsi = jnp.argmin(vbest, axis=-1)                     # (N, D) first-min
-        best_err = jnp.take_along_axis(vbest, bsi[..., None], axis=-1)[..., 0]
-        variant = jnp.take_along_axis(vidx, bsi[..., None], axis=-1)[..., 0]
+        best_err = jnp.min(vbest, axis=-1)
+        # One-hot contraction instead of take_along_axis: per-element
+        # gathers scalarize on TPU.
+        oh = (jnp.arange(vbest.shape[-1], dtype=jnp.int32)
+              == bsi[..., None])
+        variant = jnp.sum(jnp.where(oh, vidx, 0), axis=-1)
         cutflag = ((variant == 1) | (variant == 3)).astype(jnp.float32)
         found = best_err < big
         return bsi, cutflag, found
@@ -184,11 +188,11 @@ def angular_endpoints_for_quant_levels(dec_weights, wvalid, max_precision):
         q = int(STEPS_FOR_QUANT_LEVEL[l])
         bsi, cutflag, found = best_for_span(q)
         bsi = jnp.where(found, bsi, 0)
-        lw = jnp.take_along_axis(r["lowest_weight"], bsi[..., None],
-                                 axis=-1)[..., 0] + cutflag
+        oh = (jnp.arange(ANGULAR_STEPS, dtype=jnp.int32) == bsi[..., None])
+        lw = jnp.sum(jnp.where(oh, r["lowest_weight"], 0.0), axis=-1) + cutflag
         hw = lw + float(q) - 1.0
         stepsize = 1.0 / (1.0 + bsi.astype(jnp.float32))
-        off = jnp.take_along_axis(offsets, bsi[..., None], axis=-1)[..., 0]
+        off = jnp.sum(jnp.where(oh, offsets, 0.0), axis=-1)
         lows.append((off + lw) * stepsize)
         highs.append((off + hw) * stepsize)
 

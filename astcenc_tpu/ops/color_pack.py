@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from ..tables import ise, quant
 from . import color_unquant as cuq
+from . import lut as lut_ops
 
 _BIG = jnp.float32(1e30)
 
@@ -38,17 +39,60 @@ def _quant_tables():
     return lo, hi
 
 
+class QuantQ:
+    """Per-row color quant tables with gather-free lookups.
+
+    Elementwise gathers from the (17, 256) lo/hi tables scalarize on TPU
+    (they were 96% of encoder device time); instead the block's two table
+    rows are selected once with a one-hot contraction and every lookup runs
+    against the per-row tables via factored one-hot matmuls
+    (lut.lookup_rows).
+
+    Duck-types the integer qidx array so existing call sites keep working:
+    broadcast indexing (``qidx[..., None]``) returns self, and ``<=`` / ``<``
+    comparisons defer to the underlying indices.
+    """
+
+    def __init__(self, qidx):
+        self.idx = qidx                              # (B,) int32
+        lo, hi = _quant_tables()
+        tab = jnp.asarray(np.stack([lo, hi], axis=-1), jnp.float32)
+        oh = lut_ops.onehot(qidx, 17)
+        self.rows = jnp.einsum("nq,qvc->nvc", oh, tab)   # (B, 256, 2)
+
+    def __getitem__(self, key):
+        return self
+
+    def __le__(self, other):
+        return self.idx <= other
+
+    def __lt__(self, other):
+        return self.idx < other
+
+    def lookup(self, value):
+        """(lo, hi) table values for ``value``: (B, ...) -> (B, ..., 2)."""
+        B = value.shape[0]
+        flat = jnp.clip(value.reshape(B, -1), 0, 255)
+        out = lut_ops.lookup_rows(self.rows, flat, a=32)
+        return out.reshape(value.shape + (2,))
+
+
 def quant_color(qidx, value):
     """quant_color(q, value) — round ties up (reference: :73-78)."""
+    if isinstance(qidx, QuantQ):
+        return qidx.lookup(value)[..., 1].astype(jnp.int32)
     _, hi = _quant_tables()
     return jnp.asarray(hi)[qidx, jnp.clip(value, 0, 255)]
 
 
 def quant_color_res(qidx, value, valuef):
     """quant_color(q, value, valuef) with residual bias (reference: :108-125)."""
-    lo, hi = _quant_tables()
     residual = valuef - value.astype(jnp.float32)
     use_hi = residual >= -0.1
+    if isinstance(qidx, QuantQ):
+        lh = qidx.lookup(value)
+        return jnp.where(use_hi, lh[..., 1], lh[..., 0]).astype(jnp.int32)
+    lo, hi = _quant_tables()
     v = jnp.clip(value, 0, 255)
     return jnp.where(use_hi, jnp.asarray(hi)[qidx, v], jnp.asarray(lo)[qidx, v])
 
@@ -422,7 +466,7 @@ def pack_color_endpoints_ldr(ep0, ep1, rgbs, req_fmt, quant_level):
 
     Returns (fmt (B,), values (B, 8) int32 in 0..255).
     """
-    qidx = jnp.clip(quant_level - ise.QUANT_6, 0, 16)
+    qidx = QuantQ(jnp.clip(quant_level - ise.QUANT_6, 0, 16))
     c0 = jnp.clip(ep0, 0.0, 65535.0) / 257.0
     c1 = jnp.clip(ep1, 0.0, 65535.0) / 257.0
 

@@ -33,7 +33,8 @@ def _retain_top_bits(qidx, value, top_mask: int, max_steps: int = 72):
     qk = cp.quant_color(qidx[..., None], vk)
     ok = (qk & top_mask) == (vk & top_mask)
     first = jnp.argmax(ok, axis=-1)
-    qsel = jnp.take_along_axis(qk, first[..., None], axis=-1)[..., 0]
+    oh = (jnp.arange(max_steps, dtype=jnp.int32) == first[..., None])
+    qsel = jnp.sum(jnp.where(oh, qk, 0), axis=-1)
     # A fit always exists (quantizing 0 preserves top bits of 0)
     return qsel
 
@@ -423,7 +424,7 @@ def pack_color_endpoints_hdr(ep0, ep1, rgbs, rgbo, req_fmt, quant_level):
     FMT_HDR_RGB_LDR_ALPHA / FMT_HDR_RGBA. Returns (fmt, values (B, 8)).
     """
     from ..tables import ise
-    qidx = jnp.clip(quant_level - ise.QUANT_6, 0, 16)
+    qidx = cp.QuantQ(jnp.clip(quant_level - ise.QUANT_6, 0, 16))
     B = ep0.shape[0]
     zero8 = jnp.zeros((B, 8), jnp.int32)
 

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 
 from . import color_unquant as cuq
 from . import ideal as ideal_ops
+from . import lut as lut_ops
 
 QUANT_6 = 4
 ERROR_CALC_DEFAULT = 1e30
@@ -318,13 +319,13 @@ def combine_partitions(be, fm, partition_count: int):
         # last-minimum: first-min over the reversed combo axis
         ridx = jnp.argmin(errs[..., ::-1], axis=-1)
         idx = K - 1 - ridx
-        err_cols.append(jnp.take_along_axis(errs, idx[..., None],
-                                            axis=-1)[..., 0])
+        err_cols.append(jnp.min(errs, axis=-1))
         fmts = jnp.stack(
             [jnp.stack([fm[:, p, :, c[p]] for p in range(pc)], axis=-1)
              for c in combos], axis=-2)                    # (N, 21, K, pc)
-        fmt_cols.append(jnp.take_along_axis(
-            fmts, idx[..., None, None], axis=-2)[..., 0, :])
+        oh = (jnp.arange(K, dtype=jnp.int32) == idx[..., None])
+        fmt_cols.append(jnp.sum(
+            jnp.where(oh[..., None], fmts, 0), axis=-2))
     comb_err = jnp.stack(err_cols, axis=-1)                # (N, 21, S)
     comb_fmt = jnp.stack(fmt_cols, axis=-2)                # (N, 21, S, pc)
     return comb_err, comb_fmt
@@ -369,8 +370,12 @@ def best_for_bitcount(comb_err, comb_fmt, quant_mode_table_np, bitcounts_np,
         ql = qmt[ic, bits]                      # (M,) static
         valid = ql >= QUANT_6                   # (M,) static
         qlc = np.clip(ql, 0, 20)
-        # comb_err[:, qlc[m], ic - ic_base] for each mode m
-        err_ic = comb_err[:, qlc, ic - ic_base]  # (N, M)
+        # comb_err[:, qlc[m], ic - ic_base] for each mode m; static one-hot
+        # matmul instead of a (N, M) gather (gathers scalarize on TPU).
+        oh_m = jnp.asarray(
+            (qlc[:, None] == np.arange(21)).astype(np.float32))  # (M, 21)
+        err_ic = jnp.einsum("mq,nq->nm", oh_m,
+                            comb_err[:, :, ic - ic_base])        # (N, M)
         err_ic = jnp.where(jnp.asarray(valid), err_ic,
                            jnp.float32(ERROR_CALC_DEFAULT))
         cand_err.append(err_ic)
@@ -378,7 +383,7 @@ def best_for_bitcount(comb_err, comb_fmt, quant_mode_table_np, bitcounts_np,
 
     cand = jnp.stack(cand_err, axis=-1)          # (N, M, n_ic)
     best_idx = jnp.argmin(cand, axis=-1)         # first-min = reference order
-    best_err = jnp.take_along_axis(cand, best_idx[..., None], axis=-1)[..., 0]
+    best_err = jnp.min(cand, axis=-1)
     best_ic = jnp.asarray(ics, jnp.int32)[best_idx]  # (N, M)
 
     # Reference inits best_integer_count to 0 when nothing is valid:
@@ -386,22 +391,30 @@ def best_for_bitcount(comb_err, comb_fmt, quant_mode_table_np, bitcounts_np,
     none_valid = best_err >= jnp.float32(ERROR_CALC_DEFAULT)
     best_ic = jnp.where(none_valid, 1 if pc == 1 else 0, best_ic)
 
-    qmt_j = jnp.asarray(qmt.astype(np.int32))
-    bits_j = jnp.asarray(bits.astype(np.int32))[None, :]
-    ql = qmt_j[best_ic, jnp.broadcast_to(bits_j, best_ic.shape)]
-    ql_mod = qmt_j[best_ic, jnp.broadcast_to(
-        jnp.clip(bits_j + mod_bits, 0, 127), best_ic.shape)]
+    # qmt[ic, bits[m]] with static bits: fold the bit lookup at trace time
+    # and select the ic row with a one-hot sum (gathers scalarize on TPU).
+    qmt_at_bits = jnp.asarray(qmt[:, bits].astype(np.int32))       # (10, M)
+    qmt_at_mod = jnp.asarray(
+        qmt[:, np.clip(bits + mod_bits, 0, 127)].astype(np.int32))  # (10, M)
+    oh_ic = (jnp.arange(10, dtype=jnp.int32)
+             == best_ic[..., None])                                # (N, M, 10)
+    ql = jnp.sum(jnp.where(oh_ic, qmt_at_bits.T[None], 0), axis=-1)
+    ql_mod = jnp.sum(jnp.where(oh_ic, qmt_at_mod.T[None], 0), axis=-1)
 
     qlc = jnp.clip(ql, QUANT_6, 20)
+    oh_q = lut_ops.onehot(qlc, 21)                         # (N, M, 21)
     if pc == 1:
-        flat = comb_fmt.reshape(comb_fmt.shape[0], 21 * 4)  # (N, 84)
-        idx = qlc * 4 + jnp.clip(best_ic - 1, 0, 3)
-        fmts = jnp.take_along_axis(flat, idx, axis=1)[..., None]  # (N, M, 1)
+        slot = jnp.clip(best_ic - 1, 0, 3)
+        oh_s = lut_ops.onehot(slot, 4)                     # (N, M, 4)
+        at_q = jnp.einsum("nmq,nqs->nms", oh_q,
+                          comb_fmt.astype(jnp.float32))    # (N, M, 4)
+        fmts = jnp.sum(oh_s * at_q, axis=-1)[..., None].astype(jnp.int32)
     else:
-        Nn = comb_fmt.shape[0]
-        flat = comb_fmt.reshape(Nn, 21 * S, pc)
-        idx = qlc * S + jnp.clip(best_ic - ic_base, 0, S - 1)
-        fmts = jnp.take_along_axis(flat, idx[..., None], axis=1)
+        slot = jnp.clip(best_ic - ic_base, 0, S - 1)
+        oh_s = lut_ops.onehot(slot, S)                     # (N, M, S)
+        at_q = jnp.einsum("nmq,nqsp->nmsp", oh_q,
+                          comb_fmt.astype(jnp.float32))    # (N, M, S, pc)
+        fmts = jnp.einsum("nms,nmsp->nmp", oh_s, at_q).astype(jnp.int32)
     fmts = jnp.where((ql >= QUANT_6)[..., None], fmts, cuq.FMT_LUMINANCE)
 
     return {"error": best_err, "quant": ql, "quant_mod": ql_mod,
@@ -427,7 +440,7 @@ def select_candidates(total_errors, tune_candidate_limit: int):
     valids = []
     for _ in range(tune_candidate_limit):
         idx = jnp.argmin(errs, axis=-1)
-        val = jnp.take_along_axis(errs, idx[..., None], axis=-1)[..., 0]
+        val = jnp.min(errs, axis=-1)
         ok = val < jnp.float32(ERROR_CALC_DEFAULT)
         modes.append(jnp.where(ok, idx, -1))
         valids.append(ok)

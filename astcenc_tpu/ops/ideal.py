@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from . import lut as lut_ops
+
 _EPS_LINE = 1e-7
 
 
@@ -269,9 +271,12 @@ def quantize_weights_for_modes(dec_ideal_by_mode, low, high, quant_unquant,
     wl = ix1.astype(jnp.int32)                      # trunc
     wh = jnp.minimum(wl + 1, steps_m1[None, :, None])
 
-    lut = quant_unquant[quant_of_mode]              # (M, 32)
-    ixl = jnp.take_along_axis(lut[None], wl, axis=2)
-    ixh = jnp.take_along_axis(lut[None], wh, axis=2)
+    # Select-chain LUT: per-element gathers scalarize on TPU (96% of device
+    # time profiled); a 32-step compare+select chain runs on the VPU.
+    lut = quant_unquant[quant_of_mode]              # (M, 32) static gather
+    lut_b = lut[None, :, None, :]                   # (1, M, 1, 32)
+    ixl = lut_ops.lookup_span(lut_b, wl, 32)
+    ixh = lut_ops.lookup_span(lut_b, wh, 32)
 
     pick_h = (ixl + ixh).astype(jnp.float32) < (128.0 * ix)
     uq = jnp.where(pick_h, ixh, ixl)                # int 0..64

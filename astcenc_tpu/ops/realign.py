@@ -13,6 +13,20 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from . import lut as lut_ops
+
+
+def _pn_rows(prev_next, quant_of_block):
+    """Per-block (65, 2) prev/next table via one-hot contraction.
+
+    prev_next is (12, 65, 2); a per-element gather over it scalarizes on
+    TPU, so select the block's row with a (N, 12) one-hot matmul once and
+    do all per-weight lookups against the per-block row (lut.lookup_rows).
+    """
+    pn = jnp.asarray(prev_next).astype(jnp.float32)
+    oh = lut_ops.onehot(quant_of_block, pn.shape[0])
+    return jnp.einsum("nq,qvc->nvc", oh, pn)
+
 
 def realign_undecimated(weights, texels, pmask, ep0i, ep1i, channel_weight,
                         prev_next, quant_of_block, plane_mask=None):
@@ -44,9 +58,10 @@ def realign_undecimated(weights, texels, pmask, ep0i, ep1i, channel_weight,
     base_t = jnp.einsum("ntp,npc->ntc", pmask, base)
 
     uqw = weights
-    pnq = pn[quant_of_block[:, None], jnp.clip(uqw, 0, 64)]  # (N, T, 2)
-    down = pnq[..., 0]
-    up = pnq[..., 1]
+    rows = _pn_rows(pn, quant_of_block)                      # (N, 65, 2)
+    pnq = lut_ops.lookup_rows(rows, jnp.clip(uqw, 0, 64))    # (N, T, 2)
+    down = pnq[..., 0].astype(jnp.int32)
+    up = pnq[..., 1].astype(jnp.int32)
 
     wb = uqw.astype(jnp.float32)
     color = base_t + off_t * wb[..., None]
@@ -117,9 +132,9 @@ def realign_decimated(dec_weights, texels, pmask, ep0i, ep1i, channel_weight,
         SC = jnp.sum(ind_j * Mf_j * Mf_j * C_t, axis=1)
 
         uqw = wgrid[:, j]
-        pnq = pn[quant_of_block, jnp.clip(uqw, 0, 64)]
-        down = pnq[:, 0]
-        up = pnq[:, 1]
+        pnq = lut_ops.lookup_rows(rows, jnp.clip(uqw, 0, 64)[:, None])[:, 0]
+        down = pnq[:, 0].astype(jnp.int32)
+        up = pnq[:, 1].astype(jnp.int32)
         d_dn = (down - uqw).astype(jnp.float32)
         d_up = (up - uqw).astype(jnp.float32)
 
@@ -138,6 +153,7 @@ def realign_decimated(dec_weights, texels, pmask, ep0i, ep1i, channel_weight,
         adjusted = adjusted | go_up | go_dn
         return (wgrid, infilled, adjusted), None
 
+    rows = _pn_rows(pn, quant_of_block)                      # (N, 65, 2)
     infill0 = jnp.einsum("ntw,nw->nt", dec_f32,
                          dec_weights.astype(jnp.float32))
     init = (dec_weights, infill0, jnp.zeros(dec_weights.shape[0], bool))
@@ -180,6 +196,7 @@ def realign_decimated_grouped(dec_weights, texels, pmask, ep0i, ep1i,
 
     dec_f32_sq = dec_f32 * dec_f32
 
+    rows = _pn_rows(pn, quant_of_block)                      # (N, 65, 2)
     wgrid = dec_weights
     infilled = jnp.einsum("ntw,nw->nt", dec_f32,
                           wgrid.astype(jnp.float32))
@@ -195,9 +212,9 @@ def realign_decimated_grouped(dec_weights, texels, pmask, ep0i, ep1i,
         SB = jnp.einsum("ntw,nt->nw", dec_f32, B_t)
         SC = jnp.einsum("ntw,nt->nw", dec_f32_sq, C_t)
 
-        pnq = pn[quant_of_block[:, None], jnp.clip(wgrid, 0, 64)]
-        down = pnq[..., 0]
-        up = pnq[..., 1]
+        pnq = lut_ops.lookup_rows(rows, jnp.clip(wgrid, 0, 64))  # (N, W, 2)
+        down = pnq[..., 0].astype(jnp.int32)
+        up = pnq[..., 1].astype(jnp.int32)
         d_dn = (down - wgrid).astype(jnp.float32)
         d_up = (up - wgrid).astype(jnp.float32)
 
