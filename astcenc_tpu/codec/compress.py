@@ -128,6 +128,21 @@ def _trial1_jit(enc_key, cfgs, profile, u8_mask, pc, only_always,
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _trial2_recs_jit(enc_key, cfgs, profile, u8_mask,
+                     st, ext_valid, quant_limit):
+    return trial.trial2_records(st, enc_key.tables, cfgs, profile, u8_mask,
+                                quant_limit, ext_valid, fold_all=True)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _trial1_recs_jit(enc_key, cfgs, profile, u8_mask, pc,
+                     st_f, pot_f, counts_f, ql_f, ext_valid_f):
+    return trial.trial1_records(st_f, enc_key.tables, cfgs, profile,
+                                u8_mask, pot_f, counts_f, pc, False,
+                                ql_f, ext_valid_f)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
 def _trial2_jit(enc_key, cfgs, profile, u8_mask,
                 st, p2c_vec, threshold, quant_limit, scb, active):
     return trial.compress_trial_2planes(
@@ -228,23 +243,34 @@ def compress_symbolic_batch(dtables_key, enc_key, cfgs: _CfgStatic, texels):
         scb["finished"] = scb["finished"] | hit
 
     # --- 1 partition, 2 plane trials --------------------------------------------
+    # All four component passes fold into one (4N,) comp-major batched
+    # records computation (the per-component ideal variants the reference
+    # computes are the batch rows); the reference's sequential early-out
+    # bookkeeping replays afterwards on cheap (N,)-wide masks.
     if et.m2_quant.shape[0] > 0:
         lowest_correl = _lowest_correlation(texels, cw)
         skip_two_plane = (lowest_correl
                           > cfg.tune_2plane_early_out_limit_correlation)
-        stopped2p = jnp.zeros((N,), bool)
-        for comp in (3, 2, 1, 0):
-            active = ~skip_two_plane & ~stopped2p & ~scb["finished"]
+        comp_order = (3, 2, 1, 0)
+        cand_act = []
+        for comp in comp_order:
+            a = ~skip_two_plane
             if comp != 3:
-                active = active & ~st["grayscale"]
-            const_ch = st["data_min"][:, comp] == st["data_max"][:, comp]
-            active = active & ~const_ch
-
-            p2c_vec = jnp.full((texels.shape[0],), comp, jnp.int32)
-            scb, errv = _trial2_jit(
-                enc_key, cfg, profile, u8_mask,
-                st, p2c_vec, error_threshold * overshoot,
-                quant_limit, scb, active)
+                a = a & ~st["grayscale"]
+            a = a & ~(st["data_min"][:, comp] == st["data_max"][:, comp])
+            cand_act.append(a)
+        ext_valid2 = (jnp.stack(cand_act, axis=1)
+                      & ~scb["finished"][:, None])          # (N, 4)
+        recs2 = _trial2_recs_jit(enc_key, cfg, profile, u8_mask,
+                                 st, ext_valid2, quant_limit)
+        stopped2p = jnp.zeros((N,), bool)
+        for i, comp in enumerate(comp_order):
+            recs_i = {k: v.reshape((4, N) + v.shape[1:])[i]
+                      for k, v in recs2.items()}
+            active = cand_act[i] & ~stopped2p & ~scb["finished"]
+            p2c_vec = jnp.full((N,), comp, jnp.int32)
+            scb, errv = trial.apply_records_2plane(
+                scb, recs_i, error_threshold * overshoot, p2c_vec, active)
 
             errv = jnp.where(active, errv, jnp.float32(ERROR_CALC_DEFAULT))
             stopped2p = stopped2p | (active
@@ -275,22 +301,36 @@ def compress_symbolic_batch(dtables_key, enc_key, cfgs: _CfgStatic, texels):
         pk_map = jnp.asarray(parts["packed_index"].astype(np.int32))
 
         best_prev = best_err_pcount[pc - 2]
-        for ti in range(min(ntrials, seeds.shape[1])):
-            seed = seeds[:, ti]
-            ok = valid[:, ti]
-            row = jnp.clip(pk_map[jnp.clip(seed, 0, 1023)], 0,
+        ntr = min(ntrials, seeds.shape[1])
+        # Fold the seed-candidate trials into one batched records pass
+        # (ti-major), then replay the sequential take/early-out bookkeeping.
+        pot_l, counts_l = [], []
+        for ti in range(ntr):
+            row = jnp.clip(pk_map[jnp.clip(seeds[:, ti], 0, 1023)], 0,
                            pot_all.shape[0] - 1)
-            pot = pot_all[row]
-            counts = ptc_all[row]
+            pot_l.append(pot_all[row])
+            counts_l.append(ptc_all[row])
+        st_f = {k: (jnp.concatenate([v] * ntr, 0)
+                    if getattr(v, "ndim", 0) else v)
+                for k, v in st.items()}
+        pot_f = jnp.concatenate(pot_l, 0)
+        counts_f = jnp.concatenate(counts_l, 0)
+        ql_f = jnp.concatenate([quant_limit] * ntr, 0)
+        ext_f = (valid[:, :ntr] & ~scb["finished"][:, None]
+                 ).T.reshape(ntr * N)
+        recs_p = _trial1_recs_jit(enc_key, cfg, profile, u8_mask, pc,
+                                  st_f, pot_f, counts_f, ql_f, ext_f)
 
-            # Freeze invalid lanes by pretending they are finished
+        for ti in range(ntr):
+            recs_i = {k: v.reshape((ntr, N) + v.shape[1:])[ti]
+                      for k, v in recs_p.items()}
+            ok = valid[:, ti]
             saved_fin = scb["finished"]
-            scb["finished"] = scb["finished"] | ~ok
-            scb, errv = _trial1_jit(
-                enc_key, cfg, profile, u8_mask, pc, False,
-                st, pot, counts, seed,
-                error_threshold * overshoot, quant_limit, scb)
-            scb["finished"] = saved_fin | (scb["finished"] & ok)
+            scb = dict(scb)
+            scb["finished"] = saved_fin | ~ok
+            scb, errv = trial.apply_records_1plane(
+                scb, recs_i, error_threshold * overshoot, pc, seeds[:, ti])
+            scb["finished"] = saved_fin
 
             errv = jnp.where(ok, errv, jnp.float32(ERROR_CALC_DEFAULT))
             best_err_pcount[pc - 1] = jnp.minimum(best_err_pcount[pc - 1],

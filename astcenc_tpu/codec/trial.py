@@ -168,19 +168,23 @@ def _rgbm_trial_error(texels, color, cw, rgbm_scale):
 
 
 def trial_error_1plane(texels, pmask, fmt, values, wgrid, Mint, cw, profile,
-                       u8_mask, ep=None, rgbm_scale=0.0):
+                       u8_mask, ep=None, rgbm_scale=0.0, ep_t=None):
     """compute_symbolic_block_difference_1plane, batched.
 
     Reference: astcenc_decompress_symbolic.cpp:407-618.
     """
-    if ep is not None:
-        ep0, ep1 = ep
-    else:
-        ep0, ep1 = _decode_endpoints(profile, fmt, values)  # (N, P, 4) ints
     infill = (8 + jnp.einsum("ntw,nw->nt", Mint,
                              wgrid.astype(jnp.float32))).astype(jnp.int32) >> 4
-    ep0_t = jnp.einsum("ntp,npc->ntc", pmask, ep0.astype(jnp.float32))
-    ep1_t = jnp.einsum("ntp,npc->ntc", pmask, ep1.astype(jnp.float32))
+    if ep_t is not None:
+        # Caller-hoisted per-texel endpoints, shared across error evals.
+        ep0_t, ep1_t = ep_t
+    else:
+        if ep is not None:
+            ep0, ep1 = ep
+        else:
+            ep0, ep1 = _decode_endpoints(profile, fmt, values)  # (N, P, 4)
+        ep0_t = jnp.einsum("ntp,npc->ntc", pmask, ep0.astype(jnp.float32))
+        ep1_t = jnp.einsum("ntp,npc->ntc", pmask, ep1.astype(jnp.float32))
     w = infill.astype(jnp.float32)[..., None]
     color = jnp.floor((ep0_t * (64.0 - w) + ep1_t * w + 32.0) / 64.0)
     if u8_mask:
@@ -194,11 +198,16 @@ def trial_error_1plane(texels, pmask, fmt, values, wgrid, Mint, cw, profile,
 
 
 def trial_error_2plane(texels, fmt0, values0, wgrid1, wgrid2, p2c, Mint, cw,
-                       profile, u8_mask, rgbm_scale=0.0):
+                       profile, u8_mask, rgbm_scale=0.0, ep=None):
     """compute_symbolic_block_difference_2plane, batched (1 partition)."""
-    ep0, ep1 = _decode_endpoints(profile, fmt0[:, None], values0[:, None])
-    ep0 = ep0[:, 0].astype(jnp.float32)
-    ep1 = ep1[:, 0].astype(jnp.float32)
+    if ep is not None:
+        ep0, ep1 = ep
+        ep0 = ep0.astype(jnp.float32)
+        ep1 = ep1.astype(jnp.float32)
+    else:
+        ep0, ep1 = _decode_endpoints(profile, fmt0[:, None], values0[:, None])
+        ep0 = ep0[:, 0].astype(jnp.float32)
+        ep1 = ep1[:, 0].astype(jnp.float32)
 
     def infill(g):
         return ((8 + jnp.einsum("ntw,nw->nt", Mint, g.astype(jnp.float32)))
@@ -240,6 +249,24 @@ def compress_trial_1plane(st, et: EncoderTables, cfg, profile: int,
       scb: carried symbolic state (updated in place semantics).
 
     Returns (scb, best_errorval_in_mode (N,)).
+    """
+    recs = trial1_records(st, et, cfg, profile, u8_mask, pot, counts, pc,
+                          only_always, quant_limit, ~scb["finished"])
+    return apply_records_1plane(scb, recs, threshold, pc, partition_index)
+
+
+def trial1_records(st, et: EncoderTables, cfg, profile: int,
+                   u8_mask: bool, pot, counts, pc: int, only_always: bool,
+                   quant_limit, ext_valid):
+    """Heavy compute of a 1-plane trial: per-mode search + candidate
+    refinement, independent of the carried symbolic state. Returns the
+    per-record tensors consumed by apply_records_1plane — this split lets
+    drivers fold several sequential trials (e.g. partition-seed candidates)
+    into one batched invocation and replay the reference's sequential
+    selection afterwards on cheap (N, C*K) tensors.
+
+    Args are as compress_trial_1plane, except ext_valid: (N,) lanes that
+    may refine (callers pass seed-validity & not-finished).
     """
     texels = st["texels"]
     N, T, _ = texels.shape
@@ -404,7 +431,7 @@ def compress_trial_1plane(st, et: EncoderTables, cfg, profile: int,
 
     cand_c = jnp.clip(cand_modes, 0, M1 - 1)             # (N, C)
     mode_f = cand_c.reshape(NC)
-    valid_f = (cand_valid & ~scb["finished"][:, None]).reshape(NC)
+    valid_f = (cand_valid & ext_valid[:, None]).reshape(NC)
 
     def rep(x):
         return jnp.repeat(x, C, axis=0)
@@ -413,11 +440,13 @@ def compress_trial_1plane(st, et: EncoderTables, cfg, profile: int,
     pmask_f = rep(pmask)
     counts_f = rep(counts)
 
-    dm_f = dm_m_j[mode_f]
-    wq_f = quant_m_j[mode_f]
     # Candidate-axis selections as one-hot contractions (values are small
     # ints, exact in f32); per-element gathers scalarize on TPU.
     ohc = lut_ops.onehot(cand_c, M1)                     # (N, C, M1)
+    dm_f = jnp.einsum("ncm,m->nc", ohc, dm_m_j.astype(jnp.float32)
+                      ).astype(jnp.int32).reshape(NC)
+    wq_f = jnp.einsum("ncm,m->nc", ohc, quant_m_j.astype(jnp.float32)
+                      ).astype(jnp.int32).reshape(NC)
     fmt_req_f = jnp.einsum("ncm,nmp->ncp", ohc,
                            bb["formats"].astype(jnp.float32)
                            ).astype(jnp.int32).reshape(NC, pc)
@@ -480,23 +509,32 @@ def compress_trial_1plane(st, et: EncoderTables, cfg, profile: int,
         vals4 = jnp.zeros((NC, 4, 8), jnp.int32).at[:, :pc].set(vals_p)
 
         ep0i, ep1i = _decode_endpoints(profile, fmt4, vals4)
+        # Per-texel endpoints, shared by both error evals and realign.
+        ep0_t = jnp.einsum("ntp,npc->ntc", pmask_f, ep0i.astype(jnp.float32))
+        ep1_t = jnp.einsum("ntp,npc->ntc", pmask_f, ep1i.astype(jnp.float32))
 
-        err_pre = trial_error_1plane(tex_f, pmask_f, fmt4, vals4, wgrid,
-                                     Mint_f, cw, profile, u8_mask,
-                                     ep=(ep0i, ep1i),
-                                     rgbm_scale=cfg.rgbm_scale)
+        if r == 0:
+            # err_pre is only recorded for round 0 (the record stream is
+            # [r0-pre, r0-post, r1-post, ...]); skip the dead eval otherwise.
+            err_pre = trial_error_1plane(tex_f, pmask_f, fmt4, vals4, wgrid,
+                                         Mint_f, cw, profile, u8_mask,
+                                         rgbm_scale=cfg.rgbm_scale,
+                                         ep_t=(ep0_t, ep1_t))
+            err_pre = jnp.where(alive, err_pre, jnp.float32(1e30))
+        else:
+            err_pre = jnp.full(wgrid.shape[:1], jnp.float32(1e30))
         w_pre = wgrid
 
         new_wgrid, adjusted = realign_ops.realign_decimated_grouped(
             wgrid, tex_f, pmask_f, ep0i, ep1i,
-            cw, pn, wq_f, Mf32_f, incid_f, wvalid_f, color_f, et.ncolors)
+            cw, pn, wq_f, Mf32_f, incid_f, wvalid_f, color_f, et.ncolors,
+            ep_t=(ep0_t, ep1_t))
         wgrid = jnp.where(alive[:, None], new_wgrid, wgrid)
 
         err_post = trial_error_1plane(tex_f, pmask_f, fmt4, vals4, wgrid,
                                       Mint_f, cw, profile, u8_mask,
-                                      ep=(ep0i, ep1i),
-                                      rgbm_scale=cfg.rgbm_scale)
-        err_pre = jnp.where(alive & (r == 0), err_pre, jnp.float32(1e30))
+                                      rgbm_scale=cfg.rgbm_scale,
+                                      ep_t=(ep0_t, ep1_t))
         err_post = jnp.where(alive, err_post, jnp.float32(1e30))
         alive = alive & adjusted
 
@@ -540,7 +578,29 @@ def compress_trial_1plane(st, et: EncoderTables, cfg, profile: int,
     rec_useq = state_rec(useq_r[0], useq_r)
     rec_match = state_rec(match_r[0], match_r)
     rec_w = state_rec(wpre_r[0], wpost_r)
-    rec_mode = jnp.repeat(mode_index_j[cand_c], K, axis=1)   # (N, C*K)
+    rec_mode = jnp.repeat(
+        jnp.einsum("ncm,m->nc", ohc, mode_index_j.astype(jnp.float32)
+                   ).astype(jnp.int32), K, axis=1)       # (N, C*K)
+
+    wg64 = jnp.zeros((N, rec_w.shape[1], 64), jnp.int32
+                     ).at[:, :, :W].set(rec_w)
+    return {"err": rec_err, "fmt": rec_fmt, "vals": rec_vals,
+            "useq": rec_useq, "match": rec_match, "w64": wg64,
+            "mode": rec_mode}
+
+
+def apply_records_1plane(scb, recs, threshold, pc, partition_index):
+    """Reference-order sequential selection over a trial's records.
+
+    Cheap (N, C*K)-shaped tail of a 1-plane trial, separated so folded
+    drivers can replay several trials' records sequentially against the
+    running symbolic state.
+    """
+    rec_err = recs["err"]
+    rec_fmt, rec_vals = recs["fmt"], recs["vals"]
+    rec_useq, rec_match = recs["useq"], recs["match"]
+    rec_mode, rec_w64 = recs["mode"], recs["w64"]
+    N, CK = rec_err.shape
 
     # Sequential-take reproduction: first record that both improves on the
     # running best and beats the quality threshold freezes the outcome.
@@ -555,7 +615,6 @@ def compress_trial_1plane(st, et: EncoderTables, cfg, profile: int,
     argmin_idx = jnp.argmin(rec_err, axis=1)
     win_idx = jnp.where(any_hit, first_hit, argmin_idx)
 
-    CK = rec_err.shape[1]
     oh_win = lut_ops.onehot(win_idx, CK)                  # (N, CK)
     win_err = jnp.einsum("nk,nk->n", oh_win, rec_err)
     best_in_mode = jnp.min(
@@ -572,7 +631,7 @@ def compress_trial_1plane(st, et: EncoderTables, cfg, profile: int,
         out = jnp.sum(ohw * rec.astype(jnp.float32), axis=1)
         return out.astype(rec.dtype) if rec.dtype != jnp.float32 else out
 
-    wg64 = jnp.zeros((N, 64), jnp.int32).at[:, :W].set(gather1(rec_w))
+    wg64 = gather1(rec_w64)
     new_scb = dict(scb)
     new_scb["errorval"] = jnp.where(take, win_err, scb["errorval"])
     new_scb["block_type_error"] = scb["block_type_error"] & ~take
@@ -620,10 +679,27 @@ def compress_trial_2planes(st, et: EncoderTables, cfg, profile: int,
 
     Returns (scb, best_errorval_in_mode (N,)).
     """
+    ext_valid = ~scb["finished"] & active_in
+    recs = trial2_records(st, et, cfg, profile, u8_mask, quant_limit,
+                          ext_valid, p2c_vec=p2c_vec)
+    return apply_records_2plane(scb, recs, threshold, p2c_vec, active_in)
+
+
+def trial2_records(st, et: EncoderTables, cfg, profile: int,
+                   u8_mask: bool, quant_limit, ext_valid, p2c_vec=None,
+                   fold_all: bool = False):
+    """Heavy compute of the 2-plane trial(s); see trial1_records.
+
+    With fold_all=True the four plane-2 component passes are folded into a
+    single (4N,) comp-major batch (comp order 3,2,1,0 — the reference's
+    visit order): the per-component ideal endpoint/weight variants the
+    single-call path computes and discards 3/4 of become the batch rows.
+    Returns records shaped (4N, C*K); the driver reshapes and replays them
+    sequentially. quant_limit/ext_valid are (N,) / (N, 4) in this mode.
+    """
     texels = st["texels"]
     N, T, _ = texels.shape
     cw = cfg.channel_weights
-    p2c = p2c_vec
 
     pot1 = jnp.zeros((N, T), jnp.int32)
     counts1 = jnp.zeros((N, 4), jnp.int32).at[:, 0].set(T)
@@ -669,8 +745,28 @@ def compress_trial_2planes(st, et: EncoderTables, cfg, profile: int,
             comp_mask2)
         ei2_variants.append({k: e2[k] for k in keys})
 
-    ei1 = sel_comp(ei1_variants)
-    ei2 = sel_comp(ei2_variants)
+    if fold_all:
+        order = (3, 2, 1, 0)
+        ei1 = {k: jnp.concatenate([ei1_variants[c][k] for c in order], 0)
+               for k in keys}
+        ei2 = {k: jnp.concatenate([ei2_variants[c][k] for c in order], 0)
+               for k in keys}
+        p2c = jnp.concatenate(
+            [jnp.full((N,), c, jnp.int32) for c in order], 0)
+        texels = jnp.concatenate([texels] * 4, 0)
+        st = {"texels": texels,
+              "is_luminance": jnp.concatenate([st["is_luminance"]] * 4, 0),
+              "default_alpha": st["default_alpha"],   # python scalar
+              "data_mean": jnp.concatenate([st["data_mean"]] * 4, 0)}
+        quant_limit = jnp.concatenate([quant_limit] * 4, 0)
+        ext_valid = ext_valid.T.reshape(4 * N)
+        N = 4 * N
+        pmask = ideal_ops.partition_onehot(jnp.zeros((N, T), jnp.int32))
+        counts1 = jnp.zeros((N, 4), jnp.int32).at[:, 0].set(T)
+    else:
+        p2c = p2c_vec
+        ei1 = sel_comp(ei1_variants)
+        ei2 = sel_comp(ei2_variants)
 
     # --- Ideal decimated weights for both planes -------------------------------
     dec_int_j = jnp.asarray(et.dec_int)
@@ -714,8 +810,7 @@ def compress_trial_2planes(st, et: EncoderTables, cfg, profile: int,
     quant_m = et.m2_quant
     dm_m = et.m2_dm
     M2 = quant_m.shape[0]
-    if M2 == 0:
-        return scb, jnp.full((N,), jnp.float32(ERROR_CALC_DEFAULT))
+    assert M2 > 0, "caller must guard the no-2plane-modes case"
     bitcount_np = 109 - et.m2_weight_bits
 
     ang_ok = quant_m <= ang.TUNE_MAX_ANGULAR_QUANT
@@ -794,8 +889,7 @@ def compress_trial_2planes(st, et: EncoderTables, cfg, profile: int,
 
     cand_c = jnp.clip(cand_modes, 0, M2 - 1)
     mode_f = cand_c.reshape(NC)
-    valid_f = (cand_valid & (~scb["finished"] & active_in)[:, None]
-               ).reshape(NC)
+    valid_f = (cand_valid & ext_valid[:, None]).reshape(NC)
 
     def rep(x):
         return jnp.repeat(x, C, axis=0)
@@ -806,15 +900,17 @@ def compress_trial_2planes(st, et: EncoderTables, cfg, profile: int,
     mean_f = rep(st["data_mean"])
     p2lanes_f = rep(err_lane)
 
-    dm_f = dm_m_j[mode_f]
-    wq_f = quant_m_j[mode_f]
     ohc = lut_ops.onehot(cand_c, M2)                     # (N, C, M2)
+    dm_f = jnp.einsum("ncm,m->nc", ohc, dm_m_j.astype(jnp.float32)
+                      ).astype(jnp.int32).reshape(NC)
+    wq_f = jnp.einsum("ncm,m->nc", ohc, quant_m_j.astype(jnp.float32)
+                      ).astype(jnp.int32).reshape(NC)
     fmt_req_f = jnp.einsum("ncm,nm->nc", ohc,
                            bb["formats"][:, :, 0].astype(jnp.float32)
                            ).astype(jnp.int32).reshape(NC)
-    cq_f = jnp.clip(jnp.einsum("ncm,nm->nc", ohc,
-                               bb["quant"].astype(jnp.float32)
-                               ).astype(jnp.int32), 4, 20).reshape(NC)
+    cq_raw = jnp.einsum("ncm,nm->nc", ohc,
+                        bb["quant"].astype(jnp.float32)).astype(jnp.int32)
+    cq_f = jnp.clip(cq_raw, 4, 20).reshape(NC)
     wg1_0 = jnp.einsum("ncm,nmw->ncw", ohc, uq1.astype(jnp.float32)
                        ).astype(jnp.int32).reshape(NC, W)
     wg2_0 = jnp.einsum("ncm,nmw->ncw", ohc, uq2.astype(jnp.float32)
@@ -844,26 +940,40 @@ def compress_trial_2planes(st, et: EncoderTables, cfg, profile: int,
         vals4 = jnp.zeros((NC, 4, 8), jnp.int32).at[:, 0].set(vals_p)
 
         ep0i, ep1i = _decode_endpoints(profile, fmt4, vals4)
+        ep_pair = (ep0i[:, 0], ep1i[:, 0])
+        # Single-partition trial: the per-texel endpoint "einsum" is a plain
+        # broadcast, shared by both error evals and the two realign passes.
+        ep0_t = jnp.broadcast_to(ep0i[:, :1].astype(jnp.float32),
+                                 tex_f.shape)
+        ep1_t = jnp.broadcast_to(ep1i[:, :1].astype(jnp.float32),
+                                 tex_f.shape)
 
-        err_pre = trial_error_2plane(tex_f, fmt_p, vals_p, wg1, wg2, p2c_f,
-                                     Mint_f, cw, profile, u8_mask,
-                                     rgbm_scale=cfg.rgbm_scale)
+        if r == 0:
+            err_pre = trial_error_2plane(tex_f, fmt_p, vals_p, wg1, wg2,
+                                         p2c_f, Mint_f, cw, profile, u8_mask,
+                                         rgbm_scale=cfg.rgbm_scale,
+                                         ep=ep_pair)
+            err_pre = jnp.where(alive, err_pre, jnp.float32(1e30))
+        else:
+            err_pre = jnp.full(wg1.shape[:1], jnp.float32(1e30))
         w1_pre, w2_pre = wg1, wg2
 
         nw1, adj1 = realign_ops.realign_decimated_grouped(
             wg1, tex_f, pmask_f, ep0i, ep1i, cw, pn, wq_f, Mf32_f,
-            incid_f, wvalid_f, color_f, et.ncolors, plane_mask=p2lanes_f)
+            incid_f, wvalid_f, color_f, et.ncolors, plane_mask=p2lanes_f,
+            ep_t=(ep0_t, ep1_t))
         nw2, adj2 = realign_ops.realign_decimated_grouped(
             wg2, tex_f, pmask_f, ep0i, ep1i, cw, pn, wq_f, Mf32_f,
-            incid_f, wvalid_f, color_f, et.ncolors, plane_mask=~p2lanes_f)
+            incid_f, wvalid_f, color_f, et.ncolors, plane_mask=~p2lanes_f,
+            ep_t=(ep0_t, ep1_t))
         wg1 = jnp.where(alive[:, None], nw1, wg1)
         wg2 = jnp.where(alive[:, None], nw2, wg2)
         adjusted = adj1 | adj2
 
         err_post = trial_error_2plane(tex_f, fmt_p, vals_p, wg1, wg2, p2c_f,
                                       Mint_f, cw, profile, u8_mask,
-                                      rgbm_scale=cfg.rgbm_scale)
-        err_pre = jnp.where(alive & (r == 0), err_pre, jnp.float32(1e30))
+                                      rgbm_scale=cfg.rgbm_scale,
+                                      ep=ep_pair)
         err_post = jnp.where(alive, err_post, jnp.float32(1e30))
         alive = alive & adjusted
 
@@ -895,10 +1005,26 @@ def compress_trial_2planes(st, et: EncoderTables, cfg, profile: int,
     rec_vals = state_rec(vals4_r[0], vals4_r)
     rec_w1 = state_rec(w1pre_r[0], w1post_r)
     rec_w2 = state_rec(w2pre_r[0], w2post_r)
-    rec_mode = jnp.repeat(mode_index_j[cand_c], K, axis=1)
-    rec_q = jnp.repeat(jnp.clip(jnp.take_along_axis(bb["quant"], cand_c,
-                                                    axis=1), 4, 20),
-                       K, axis=1)
+    rec_mode = jnp.repeat(
+        jnp.einsum("ncm,m->nc", ohc, mode_index_j.astype(jnp.float32)
+                   ).astype(jnp.int32), K, axis=1)
+    rec_q = jnp.repeat(jnp.clip(cq_raw, 4, 20), K, axis=1)
+
+    CK2 = rec_err.shape[1]
+    w1_64 = jnp.zeros((N, CK2, 64), jnp.int32).at[:, :, :W].set(rec_w1)
+    w2_64 = jnp.zeros((N, CK2, 64), jnp.int32).at[:, :, :W].set(rec_w2)
+    return {"err": rec_err, "fmt": rec_fmt, "vals": rec_vals,
+            "q": rec_q, "mode": rec_mode, "w1_64": w1_64, "w2_64": w2_64}
+
+
+def apply_records_2plane(scb, recs, threshold, p2c, active_in):
+    """Reference-order sequential selection over a 2-plane trial's records
+    (cheap tail; see apply_records_1plane)."""
+    rec_err = recs["err"]
+    rec_fmt, rec_vals = recs["fmt"], recs["vals"]
+    rec_q, rec_mode = recs["q"], recs["mode"]
+    rec_w1_64, rec_w2_64 = recs["w1_64"], recs["w2_64"]
+    N, _ = rec_err.shape
 
     prev_best = scb["errorval"]
     shifted = jnp.concatenate([prev_best[:, None], rec_err[:, :-1]], axis=1)
@@ -925,8 +1051,8 @@ def compress_trial_2planes(st, et: EncoderTables, cfg, profile: int,
         out = jnp.sum(ohw * rec.astype(jnp.float32), axis=1)
         return out.astype(rec.dtype) if rec.dtype != jnp.float32 else out
 
-    wa = jnp.zeros((N, 64), jnp.int32).at[:, :W].set(gather1(rec_w1))
-    wb = jnp.zeros((N, 64), jnp.int32).at[:, :W].set(gather1(rec_w2))
+    wa = gather1(rec_w1_64)
+    wb = gather1(rec_w2_64)
     new_scb = dict(scb)
     new_scb["errorval"] = jnp.where(take, win_err, scb["errorval"])
     new_scb["block_type_error"] = scb["block_type_error"] & ~take

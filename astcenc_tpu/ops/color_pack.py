@@ -55,10 +55,45 @@ class QuantQ:
 
     def __init__(self, qidx):
         self.idx = qidx                              # (B,) int32
-        lo, hi = _quant_tables()
-        tab = jnp.asarray(np.stack([lo, hi], axis=-1), jnp.float32)
-        oh = lut_ops.onehot(qidx, 17)
-        self.rows = jnp.einsum("nq,qvc->nvc", oh, tab)   # (B, 256, 2)
+        self._rows = None
+        self._rows1 = None
+
+    @property
+    def rows(self):
+        if self._rows is None:
+            lo, hi = _quant_tables()
+            tab = jnp.asarray(np.stack([lo, hi], axis=-1), jnp.float32)
+            oh = lut_ops.onehot(self.idx, 17)
+            self._rows = jnp.einsum("nq,qvc->nvc", oh, tab)  # (B, 256, 2)
+        return self._rows
+
+    @property
+    def rows1(self):
+        """(B, 256) float rows with lo + hi*256 packed.
+
+        The pack happens elementwise AFTER the one-hot row selection: this
+        backend executes f32 matmuls at bf16 precision, which is exact for
+        the <=8-bit lo/hi payloads but NOT for a 16-bit packed payload.
+        """
+        if self._rows1 is None:
+            r = self.rows                                    # (B, 256, 2)
+            self._rows1 = r[..., 0] + r[..., 1] * 256.0
+        return self._rows1
+
+    def lookup_many(self, vals):
+        """Batched lookup: vals (B, K) int -> (lo, hi) int32 (B, K).
+
+        One 256-step compare/select chain over the block's packed row —
+        a single elementwise XLA fusion, replacing the per-call-site
+        factored one-hot matmuls (dozens of tiny dot_generals per pack).
+        """
+        rows1 = self.rows1
+        v = jnp.clip(vals, 0, 255)
+        acc = jnp.zeros(v.shape, jnp.float32)
+        for k in range(256):
+            acc = jnp.where(v == k, rows1[:, k:k + 1], acc)
+        packed = acc.astype(jnp.int32)
+        return packed & 0xFF, packed >> 8
 
     def __getitem__(self, key):
         return self
@@ -130,12 +165,17 @@ def _quantize_rgb(c0, c1, qidx):
     c1i = quant_color_res(qk, c1q, c1k)
 
     ok = _rgb_sum(c0i) <= _rgb_sum(c1i)                 # (B, K)
-    first_ok = jnp.argmax(ok, axis=1)
     any_ok = jnp.any(ok, axis=1)
 
-    sel = first_ok[:, None, None]
-    c0_sel = jnp.take_along_axis(c0i, sel, axis=1)[:, 0]
-    c1_sel = jnp.take_along_axis(c1i, sel, axis=1)[:, 0]
+    # First-ok selection without take_along_axis (gathers scalarize on TPU):
+    # mask out every step after the first valid one, then sum.
+    first_mask = ok & ~jnp.concatenate(
+        [jnp.zeros_like(ok[:, :1]),
+         jax.lax.associative_scan(jnp.logical_or, ok, axis=1)[:, :-1]],
+        axis=1)                                          # (B, K) one-hot
+    fm = first_mask[..., None]
+    c0_sel = jnp.sum(jnp.where(fm, c0i, 0), axis=1)
+    c1_sel = jnp.sum(jnp.where(fm, c1i, 0), axis=1)
 
     # Fallback: equal endpoints at the quantized midpoint (always ordered)
     avg = (c0 + c1) * 0.5
@@ -455,7 +495,7 @@ def pack_luminance_alpha(c0, c1, qidx):
     return fmt, jnp.where(ok[..., None], dvals, vals)
 
 
-def pack_color_endpoints_ldr(ep0, ep1, rgbs, req_fmt, quant_level):
+def _pack_color_endpoints_ldr_ref(ep0, ep1, rgbs, req_fmt, quant_level):
     """Batched LDR pack_color_endpoints (reference: :1909-2147).
 
     Args:
@@ -488,6 +528,393 @@ def pack_color_endpoints_ldr(ep0, ep1, rgbs, req_fmt, quant_level):
 
     fmt_la, v_la = pack_luminance_alpha(c0, c1, qidx)
     vals_la = zero8.at[:, :4].set(v_la)
+
+    out_fmt = jnp.select(
+        [req_fmt == cuq.FMT_RGB,
+         req_fmt == cuq.FMT_RGBA,
+         req_fmt == cuq.FMT_RGB_SCALE,
+         req_fmt == cuq.FMT_RGB_SCALE_ALPHA,
+         req_fmt == cuq.FMT_LUMINANCE,
+         req_fmt == cuq.FMT_LUMINANCE_ALPHA],
+        [fmt_rgb, fmt_rgba,
+         jnp.full((B,), cuq.FMT_RGB_SCALE),
+         jnp.full((B,), cuq.FMT_RGB_SCALE_ALPHA),
+         jnp.full((B,), cuq.FMT_LUMINANCE),
+         fmt_la],
+        default=jnp.full((B,), cuq.FMT_LUMINANCE))
+
+    out_vals = jnp.select(
+        [(req_fmt == cuq.FMT_RGB)[:, None],
+         (req_fmt == cuq.FMT_RGBA)[:, None],
+         (req_fmt == cuq.FMT_RGB_SCALE)[:, None],
+         (req_fmt == cuq.FMT_RGB_SCALE_ALPHA)[:, None],
+         (req_fmt == cuq.FMT_LUMINANCE)[:, None],
+         (req_fmt == cuq.FMT_LUMINANCE_ALPHA)[:, None]],
+        [vals_rgb, vals_rgba, vals_rgbs, vals_rgbsa, vals_lum, vals_la],
+        default=vals_lum)
+
+    return out_fmt, out_vals
+
+
+# ---------------------------------------------------------------------------
+# Phased LDR pack: every quantizer lookup in the whole pack is batched into
+# two QuantQ.lookup_many calls (one per data-dependency level), replacing
+# ~35 per-call-site factored lookups (dozens of tiny dot_generals dominated
+# the encoder's device profile). Semantically identical to
+# _pack_color_endpoints_ldr_ref; tests/test_color_pack.py checks equality.
+# ---------------------------------------------------------------------------
+
+def _adelta_phase2(v0be, rtn_v0, rtn_v1):
+    """Shared second phase of the channel-delta trials (reference
+    try_quantize_alpha_delta / luminance_alpha_delta :505-666)."""
+    v0a = rtn_v0 << 1
+    v0b2 = v0be | (v0a & 0x100)
+    v1d = (rtn_v1 << 1) - v0b2
+    ok = (v1d <= 63) & (v1d >= -64)
+    v1d2 = (v1d & 0x7F) | ((v0b2 & 0x100) >> 1)
+    return ok, v0b2, v1d2
+
+
+def _adelta_phase3(ok, v0b2, v1d2, v1de):
+    ok &= ((v1d2 ^ v1de) & 0xC0) == 0
+    v1du = v1de & 0x7F
+    v1du = jnp.where((v1du & 0x40) != 0, v1du - 0x80, v1du)
+    v1du = v1du + v0b2
+    ok &= (v1du >= 0) & (v1du <= 0x1FF)
+    return ok
+
+
+def _rgbdelta_phase3(ok, c0be, c1d2, c1de, want_negative_sum: bool):
+    """Shared tail of try_quantize_rgb_delta[_blue_contract] (:321-485)."""
+    flips = (c1d2 ^ c1de) & 0xC0
+    ok &= jnp.all(flips[..., :3] == 0, axis=-1)
+    d = (c1de >> 1) & 0x3F
+    d = jnp.where((d & 0x20) != 0, d - 0x40, d)
+    base = (c0be >> 1) | (c1de & 0x80)
+    if want_negative_sum:
+        ok &= _rgb_sum(d) < 0
+    else:
+        ok &= _rgb_sum(d) >= 0
+    s = base + d
+    ok &= jnp.all((s[..., :3] >= 0) & (s[..., :3] <= 0xFF), axis=-1)
+    return ok
+
+
+def pack_color_endpoints_ldr(ep0, ep1, rgbs, req_fmt, quant_level):
+    """Batched LDR pack_color_endpoints (reference: :1909-2147).
+
+    Args:
+      ep0/ep1: (B, 4) endpoints in 0..65535 domain.
+      rgbs: (B, 4) RGB+scale vector for the scale formats.
+      req_fmt: (B,) requested format id.
+      quant_level: (B,) absolute color quant method (>= QUANT_6).
+
+    Returns (fmt (B,), values (B, 8) int32 in 0..255).
+    """
+    qidx_i = jnp.clip(quant_level - ise.QUANT_6, 0, 16)
+    qq = QuantQ(qidx_i)
+    c0 = jnp.clip(ep0, 0.0, 65535.0) / 257.0
+    c1 = jnp.clip(ep1, 0.0, 65535.0) / 257.0
+    B = ep0.shape[0]
+    zero8 = jnp.zeros((B, 8), jnp.int32)
+    f32 = jnp.float32
+
+    # ===================== phase 1: first-level queries =====================
+    reqs = {}
+
+    def req(name, arr):
+        reqs[name] = arr.reshape(B, -1).astype(jnp.int32)
+
+    rtn_c0 = _rtn(c0)
+    rtn_c1 = _rtn(c1)
+    a0f = c0[..., 3]
+    a1f = c1[..., 3]
+    rtn_a0 = rtn_c0[..., 3]
+    rtn_a1 = rtn_c1[..., 3]
+
+    # rgb delta (straight)
+    c0a_d = rtn_c0 << 1
+    req("d_c0b", c0a_d & 0xFF)
+    # rgb delta blue-contract (inputs swapped then contracted)
+    cc0 = _bc(c1)
+    cc1 = _bc(c0)
+    ok_dbc0 = jnp.all((cc0[..., :3] >= 0) & (cc0[..., :3] <= 255.0)
+                      & (cc1[..., :3] >= 0) & (cc1[..., :3] <= 255.0), -1)
+    rtn_cc0 = _rtn(cc0)
+    rtn_cc1 = _rtn(cc1)
+    c0a_dbc = rtn_cc0 << 1
+    req("dbc_c0b", c0a_dbc & 0xFF)
+    # rgb blue contract (non-delta; outputs swap)
+    b0 = _bc(c0)
+    b1 = _bc(c1)
+    ok_bc = jnp.all((b0[..., :3] >= 0) & (b0[..., :3] <= 255.0)
+                    & (b1[..., :3] >= 0) & (b1[..., :3] <= 255.0), -1)
+    rtn_b0 = _rtn(b0)
+    rtn_b1 = _rtn(b1)
+    req("bc_c0", rtn_b0)
+    req("bc_c1", rtn_b1)
+    # quantize_rgb nudge: the 32 0.2-steps only touch 8 consecutive ints
+    j8 = jnp.arange(8, dtype=jnp.int32)
+    req("n0", rtn_c0[:, :, None] - j8[None, None, :])      # (B, 4, 8)
+    req("n1", rtn_c1[:, :, None] + j8[None, None, :])
+    avgf = (c0 + c1) * 0.5
+    avg_v = jnp.clip(_rtn(avgf), 0, 255)
+    req("n_avg", avg_v)
+    # alpha deltas (both argument orders)
+    req("ad01_a0b", (rtn_a0 << 1) & 0xFF)
+    req("ad10_a0b", (rtn_a1 << 1) & 0xFF)
+    # plain alpha
+    req("res_a0", rtn_a0)
+    req("res_a1", rtn_a1)
+    # rgb-scale
+    scale = 1.0 / 257.0
+    rgbv = jnp.clip(rgbs[..., :3] * scale, 0.0, 255.0)
+    rtn_rgbv = _rtn(rgbv)
+    req("rgbs_rgb", rtn_rgbv)
+    # luminance (averaged on swap)
+    lum0 = _rgb_sum(c0) / 3.0
+    lum1 = _rgb_sum(c1) / 3.0
+    lswap = lum0 > lum1
+    lavg = (lum0 + lum1) * 0.5
+    lum0s = jnp.where(lswap, lavg, lum0)
+    lum1s = jnp.where(lswap, lavg, lum1)
+    req("lum0", _rtn(lum0s))
+    req("lum1", _rtn(lum1s))
+    # luminance+alpha (delta first stage + non-delta)
+    rtn_l0 = _rtn(lum0)
+    rtn_l1 = _rtn(lum1)
+    req("lad_l0b", (rtn_l0 << 1) & 0xFF)
+    req("lad_a0b", (rtn_a0 << 1) & 0xFF)
+    req("la_l0", rtn_l0)
+    req("la_l1", rtn_l1)
+
+    names = list(reqs)
+    sizes = [reqs[n].shape[1] for n in names]
+    cat = jnp.concatenate([reqs[n] for n in names], axis=1)
+    lo_all, hi_all = qq.lookup_many(cat)
+    res1 = {}
+    off = 0
+    for n, sz in zip(names, sizes):
+        res1[n] = (lo_all[:, off:off + sz], hi_all[:, off:off + sz])
+        off += sz
+
+    def hi1(n):
+        return res1[n][1]
+
+    def pick(n, value, valuef):
+        lo, hi = res1[n]
+        lo = lo.reshape(value.shape)
+        hi = hi.reshape(value.shape)
+        use_hi = (valuef - value.astype(f32)) >= -0.1
+        return jnp.where(use_hi, hi, lo)
+
+    # ===================== phase 2: dependent queries ========================
+    # rgb delta (straight)
+    c0be_d = hi1("d_c0b").reshape(B, 4)
+    c0b2_d = c0be_d | (c0a_d & 0x100)
+    c1d_d = (rtn_c1 << 1) - c0b2_d
+    c1d_d = c1d_d.at[..., 3].set(0)
+    ok_d = jnp.all((c1d_d[..., :3] <= 63) & (c1d_d[..., :3] >= -64), -1)
+    c1d2_d = (c1d_d & 0x7F) | ((c0b2_d & 0x100) >> 1)
+    # rgb delta blue-contract
+    c0be_dbc = hi1("dbc_c0b").reshape(B, 4)
+    c0b2_dbc = c0be_dbc | (c0a_dbc & 0x100)
+    c1d_dbc = (rtn_cc1 << 1) - c0b2_dbc
+    c1d_dbc = c1d_dbc.at[..., 3].set(0)
+    ok_dbc = ok_dbc0 & jnp.all((c1d_dbc[..., :3] <= 63)
+                               & (c1d_dbc[..., :3] >= -64), -1)
+    c1d2_dbc = (c1d_dbc & 0x7F) | ((c0b2_dbc & 0x100) >> 1)
+    # alpha/luminance channel deltas
+    ok_ad01, a0b2_01, a1d2_01 = _adelta_phase2(
+        hi1("ad01_a0b")[:, 0], rtn_a0, rtn_a1)
+    ok_ad10, a0b2_10, a1d2_10 = _adelta_phase2(
+        hi1("ad10_a0b")[:, 0], rtn_a1, rtn_a0)
+    ok_ladl, l0b2, l1d2 = _adelta_phase2(
+        hi1("lad_l0b")[:, 0], rtn_l0, rtn_l1)
+    ok_lada, laa0b2, laa1d2 = _adelta_phase2(
+        hi1("lad_a0b")[:, 0], rtn_a0, rtn_a1)
+    # rgb-scale second stage
+    q_rgbs = pick("rgbs_rgb", rtn_rgbv, rgbv)              # (B, 3)
+    oldsum = _rgb_sum(rgbs) * scale
+    newsum = jnp.sum(q_rgbs, axis=-1).astype(f32)
+    scalea = jnp.clip(rgbs[..., 3] * (oldsum + 1e-10) / (newsum + 1e-10),
+                      0.0, 1.0)
+    scale_idx = jnp.clip(_rtn(scalea * 256.0), 0, 255)
+
+    reqs2 = {}
+    req2 = reqs2.__setitem__
+    req2("d_c1d", c1d2_d)
+    req2("dbc_c1d", c1d2_dbc)
+    req2("ad01_a1d", a1d2_01[:, None])
+    req2("ad10_a1d", a1d2_10[:, None])
+    req2("lad_l1d", l1d2[:, None])
+    req2("lad_a1d", laa1d2[:, None])
+    req2("rgbs_s", scale_idx[:, None])
+    names2 = list(reqs2)
+    sizes2 = [reqs2[n].shape[1] for n in names2]
+    cat2 = jnp.concatenate([reqs2[n].astype(jnp.int32) for n in names2],
+                           axis=1)
+    _, hi2_all = qq.lookup_many(cat2)
+    res2 = {}
+    off = 0
+    for n, sz in zip(names2, sizes2):
+        res2[n] = hi2_all[:, off:off + sz]
+        off += sz
+
+    # ===================== phase 3: finalize every trial =====================
+    delta_ok_quant = qq.idx <= (18 - ise.QUANT_6)
+
+    # rgb delta (straight)
+    c1de_d = res2["d_c1d"]
+    ok_d = _rgbdelta_phase3(ok_d, c0be_d, c1d2_d, c1de_d, False)
+    # rgb delta blue-contract (wants negative delta sum; endpoints are the
+    # swapped/contracted pair)
+    c1de_dbc = res2["dbc_c1d"]
+    ok_dbc = _rgbdelta_phase3(ok_dbc, c0be_dbc, c1d2_dbc, c1de_dbc, True)
+    # alpha deltas
+    a1de_01 = res2["ad01_a1d"][:, 0]
+    ok_ad01 = _adelta_phase3(ok_ad01, a0b2_01, a1d2_01, a1de_01)
+    a0e_01 = hi1("ad01_a0b")[:, 0]
+    a1de_10 = res2["ad10_a1d"][:, 0]
+    ok_ad10 = _adelta_phase3(ok_ad10, a0b2_10, a1d2_10, a1de_10)
+    a0e_10 = hi1("ad10_a0b")[:, 0]
+    # blue contract non-delta (swapped outputs)
+    c0i_bc = pick("bc_c0", rtn_b0, b0)
+    c1i_bc = pick("bc_c1", rtn_b1, b1)
+    ok_bc = ok_bc & (_rgb_sum(c1i_bc) > _rgb_sum(c0i_bc))
+    e0_bc, e1_bc = c1i_bc, c0i_bc
+    # quantize_rgb nudge
+    kk = jnp.arange(_NUDGE_STEPS, dtype=f32)
+    c0k = c0[:, None, :] - 0.2 * kk[None, :, None]         # (B, K, 4)
+    c1k = c1[:, None, :] + 0.2 * kk[None, :, None]
+    c0q = jnp.maximum(_rtn(c0k), 0)
+    c1q = jnp.minimum(_rtn(c1k), 255)
+    n0lo = res1["n0"][0].reshape(B, 4, 8)
+    n0hi = res1["n0"][1].reshape(B, 4, 8)
+    n1lo = res1["n1"][0].reshape(B, 4, 8)
+    n1hi = res1["n1"][1].reshape(B, 4, 8)
+
+    def sel8(tab, j):
+        acc = jnp.zeros(j.shape, tab.dtype)
+        for m in range(8):
+            acc = jnp.where(j == m, tab[:, None, :, m], acc)
+        return acc
+
+    j0 = rtn_c0[:, None, :] - c0q                          # (B, K, 4) in 0..7
+    j1 = c1q - rtn_c1[:, None, :]
+    c0i_n = jnp.where((c0k - c0q.astype(f32)) >= -0.1,
+                      sel8(n0hi, j0), sel8(n0lo, j0))
+    c1i_n = jnp.where((c1k - c1q.astype(f32)) >= -0.1,
+                      sel8(n1hi, j1), sel8(n1lo, j1))
+    ok_n = _rgb_sum(c0i_n) <= _rgb_sum(c1i_n)              # (B, K)
+    any_n = jnp.any(ok_n, axis=1)
+    first_mask = ok_n & ~jnp.concatenate(
+        [jnp.zeros_like(ok_n[:, :1]),
+         jax.lax.associative_scan(jnp.logical_or, ok_n, axis=1)[:, :-1]],
+        axis=1)
+    fmv = first_mask[..., None]
+    c0_sel = jnp.sum(jnp.where(fmv, c0i_n, 0), axis=1)
+    c1_sel = jnp.sum(jnp.where(fmv, c1i_n, 0), axis=1)
+    avg_i = pick("n_avg", avg_v, avgf)
+    e0q = jnp.where(any_n[:, None], c0_sel, avg_i)
+    e1q = jnp.where(any_n[:, None], c1_sel, avg_i)
+    # plain alpha / rgb-scale / luminance components
+    a0q = pick("res_a0", rtn_a0, a0f)
+    a1q = pick("res_a1", rtn_a1, a1f)
+    s_rgbs = res2["rgbs_s"][:, 0]
+    rgbs_vals = jnp.stack([q_rgbs[..., 0], q_rgbs[..., 1], q_rgbs[..., 2],
+                           s_rgbs], axis=-1)
+    l0q = pick("lum0", _rtn(lum0s), lum0s)
+    l1q = pick("lum1", _rtn(lum1s), lum1s)
+    la_l0 = pick("la_l0", rtn_l0, lum0)
+    la_l1 = pick("la_l1", rtn_l1, lum1)
+
+    # --------------- FMT_RGB / FMT_RGBA trial-order selection ---------------
+    def run_trials(with_alpha: bool):
+        best_err = jnp.full((B,), _BIG)
+        best_fmt = jnp.zeros((B,), jnp.int32)
+        out0 = jnp.zeros((B, 4), jnp.int32)
+        out1 = jnp.zeros((B, 4), jnp.int32)
+
+        def consider(ok, fmt_id, e0, e1, unpack_delta, strict=True):
+            nonlocal best_err, best_fmt, out0, out1
+            u0, u1 = (_unpack_rgba_delta(e0, e1) if unpack_delta
+                      else _unpack_rgba(e0, e1))
+            if not with_alpha:
+                u0 = u0.at[..., 3].set(255)
+                u1 = u1.at[..., 3].set(255)
+            err = _encoding_error(c0, c1, u0, u1)
+            better = err < best_err if strict else jnp.ones_like(ok)
+            take = ok & better
+            best_err = jnp.where(take, err, best_err)
+            best_fmt = jnp.where(take, fmt_id, best_fmt)
+            out0 = jnp.where(take[..., None], e0, out0)
+            out1 = jnp.where(take[..., None], e1, out1)
+
+        if with_alpha:
+            e0d = c0be_dbc.at[..., 3].set(a0e_10)
+            e1d = c1de_dbc.at[..., 3].set(a1de_10)
+            consider(ok_dbc & ok_ad10 & delta_ok_quant,
+                     cuq.FMT_RGBA_DELTA, e0d, e1d, True)
+            e0d = c0be_d.at[..., 3].set(a0e_01)
+            e1d = c1de_d.at[..., 3].set(a1de_01)
+            consider(ok_d & ok_ad01 & delta_ok_quant,
+                     cuq.FMT_RGBA_DELTA, e0d, e1d, True)
+            e0b = e0_bc.at[..., 3].set(a1q)   # alpha swaps with blue contract
+            e1b = e1_bc.at[..., 3].set(a0q)
+            consider(ok_bc & (qq.idx < 16), cuq.FMT_RGBA, e0b, e1b, False)
+            e0n = e0q.at[..., 3].set(a0q)
+            e1n = e1q.at[..., 3].set(a1q)
+            err = _encoding_error(c0, c1, *_unpack_rgba(e0n, e1n))
+            take = (err < best_err) | (best_err >= _BIG)
+            best_fmt = jnp.where(take, cuq.FMT_RGBA, best_fmt)
+            out0 = jnp.where(take[..., None], e0n, out0)
+            out1 = jnp.where(take[..., None], e1n, out1)
+            vals = jnp.stack([out0[..., 0], out1[..., 0], out0[..., 1],
+                              out1[..., 1], out0[..., 2], out1[..., 2],
+                              out0[..., 3], out1[..., 3]], axis=-1)
+        else:
+            consider(ok_dbc & delta_ok_quant, cuq.FMT_RGB_DELTA,
+                     c0be_dbc, c1de_dbc, True)
+            consider(ok_d & delta_ok_quant, cuq.FMT_RGB_DELTA,
+                     c0be_d, c1de_d, True)
+            consider(ok_bc & (qq.idx < 16), cuq.FMT_RGB, e0_bc, e1_bc, False)
+            u0, u1 = _unpack_rgba(e0q, e1q)
+            u0 = u0.at[..., 3].set(255)
+            u1 = u1.at[..., 3].set(255)
+            err = _encoding_error(c0, c1, u0, u1)
+            take = (err < best_err) | (best_err >= _BIG)
+            best_fmt = jnp.where(take, cuq.FMT_RGB, best_fmt)
+            out0 = jnp.where(take[..., None], e0q, out0)
+            out1 = jnp.where(take[..., None], e1q, out1)
+            vals = jnp.stack([out0[..., 0], out1[..., 0], out0[..., 1],
+                              out1[..., 1], out0[..., 2], out1[..., 2],
+                              jnp.zeros_like(out0[..., 0]),
+                              jnp.zeros_like(out0[..., 0])], axis=-1)
+        return best_fmt, vals
+
+    fmt_rgb, vals_rgb = run_trials(False)
+    fmt_rgba, vals_rgba = run_trials(True)
+
+    vals_rgbs = zero8.at[:, :4].set(rgbs_vals)
+    vals_rgbsa = vals_rgbs.at[:, 4].set(a0q).at[:, 5].set(a1q)
+    vals_lum = zero8.at[:, :2].set(jnp.stack([l0q, l1q], axis=-1))
+
+    # luminance+alpha: delta variant when every channel-delta check passes
+    la_ok = ok_ladl & ok_lada
+    l0e_la = hi1("lad_l0b")[:, 0]
+    l1e_la = res2["lad_l1d"][:, 0]
+    la_ok = _adelta_phase3(la_ok, l0b2, l1d2, l1e_la)
+    a0e_la = hi1("lad_a0b")[:, 0]
+    a1e_la = res2["lad_a1d"][:, 0]
+    la_ok = _adelta_phase3(la_ok, laa0b2, laa1d2, a1e_la)
+    la_ok &= qq.idx <= (18 - ise.QUANT_6)
+    dvals_la = jnp.stack([l0e_la, l1e_la, a0e_la, a1e_la], axis=-1)
+    nvals_la = jnp.stack([la_l0, la_l1, a0q, a1q], axis=-1)
+    fmt_la = jnp.where(la_ok, cuq.FMT_LUMINANCE_ALPHA_DELTA,
+                       cuq.FMT_LUMINANCE_ALPHA)
+    vals_la = zero8.at[:, :4].set(
+        jnp.where(la_ok[..., None], dvals_la, nvals_la))
 
     out_fmt = jnp.select(
         [req_fmt == cuq.FMT_RGB,

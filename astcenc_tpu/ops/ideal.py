@@ -82,9 +82,11 @@ def avgs_and_dirs(texels: jnp.ndarray, pmask: jnp.ndarray,
     norms_arr = jnp.stack(norms, axis=0)  # (C, N, P)
     best = jnp.argmax(norms_arr, axis=0)  # first max wins = reference order
     # Reference uses strict > to replace, so earlier channel wins ties; argmax
-    # also returns the first occurrence of the max.
-    dir_best = jnp.take_along_axis(
-        dirs_arr, best[None, ..., None].astype(jnp.int32), axis=0)[0]
+    # also returns the first occurrence of the max. Select via a C-step
+    # where-chain: axis-0 gathers scalarize on TPU.
+    dir_best = dirs_arr[0]
+    for c in range(1, dirs_arr.shape[0]):
+        dir_best = jnp.where((best == c)[..., None], dirs_arr[c], dir_best)
     return avg, dir_best
 
 

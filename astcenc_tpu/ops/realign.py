@@ -164,7 +164,7 @@ def realign_decimated(dec_weights, texels, pmask, ep0i, ep1i, channel_weight,
 def realign_decimated_grouped(dec_weights, texels, pmask, ep0i, ep1i,
                               channel_weight, prev_next, quant_of_block,
                               dec_f32, incidence, wvalid, color_of,
-                              ncolors: int, plane_mask=None):
+                              ncolors: int, plane_mask=None, ep_t=None):
     """Grouped-parallel realign: weights partitioned into parity classes.
 
     A texel's interpolation stencil touches one weight of each (x, y[, z])
@@ -184,23 +184,39 @@ def realign_decimated_grouped(dec_weights, texels, pmask, ep0i, ep1i,
     cw = jnp.array(channel_weight, jnp.float32)
     pn = jnp.asarray(prev_next)
 
-    epd = (ep1i - ep0i).astype(jnp.float32)
-    if plane_mask is not None:
-        epd = jnp.where(plane_mask[:, None, :], 0.0, epd)
-    offset = epd * (1.0 / 64.0)
-    base = ep0i.astype(jnp.float32)
-
-    off_t = jnp.einsum("ntp,npc->ntc", pmask, offset)   # (N, T, 4)
-    base_t = jnp.einsum("ntp,npc->ntc", pmask, base)
+    if ep_t is not None:
+        # Caller-hoisted per-texel endpoints (avoids re-running the pmask
+        # einsums the trial-error evals already paid for).
+        ep0_t, ep1_t = ep_t
+        epd_t = ep1_t - ep0_t
+        if plane_mask is not None:
+            epd_t = jnp.where(plane_mask[:, None, :], 0.0, epd_t)
+        off_t = epd_t * (1.0 / 64.0)
+        base_t = ep0_t
+    else:
+        epd = (ep1i - ep0i).astype(jnp.float32)
+        if plane_mask is not None:
+            epd = jnp.where(plane_mask[:, None, :], 0.0, epd)
+        offset = epd * (1.0 / 64.0)
+        base = ep0i.astype(jnp.float32)
+        off_t = jnp.einsum("ntp,npc->ntc", pmask, offset)   # (N, T, 4)
+        base_t = jnp.einsum("ntp,npc->ntc", pmask, base)
     C_t = jnp.sum(off_t * off_t * cw, axis=-1)          # (N, T)
-
-    dec_f32_sq = dec_f32 * dec_f32
 
     rows = _pn_rows(pn, quant_of_block)                      # (N, 65, 2)
     wgrid = dec_weights
     infilled = jnp.einsum("ntw,nw->nt", dec_f32,
                           wgrid.astype(jnp.float32))
     adjusted = jnp.zeros(dec_weights.shape[0], bool)
+
+    # Hoisted invariants: SC depends only on the (fixed) endpoints and the
+    # stencil; the prev/next lookup for a slot is consumed before that
+    # slot's own (single) update, so the initial-wgrid lookup is exact for
+    # every class step.
+    SC = jnp.einsum("ntw,nt->nw", dec_f32 * dec_f32, C_t)
+    pnq = lut_ops.lookup_rows(rows, jnp.clip(wgrid, 0, 64))  # (N, W, 2)
+    down = pnq[..., 0].astype(jnp.int32)
+    up = pnq[..., 1].astype(jnp.int32)
 
     for k in range(ncolors):
         color = base_t + off_t * infilled[..., None]
@@ -210,11 +226,7 @@ def realign_decimated_grouped(dec_weights, texels, pmask, ep0i, ep1i,
 
         SA = jnp.einsum("ntw,nt->nw", incidence, A_t)
         SB = jnp.einsum("ntw,nt->nw", dec_f32, B_t)
-        SC = jnp.einsum("ntw,nt->nw", dec_f32_sq, C_t)
 
-        pnq = lut_ops.lookup_rows(rows, jnp.clip(wgrid, 0, 64))  # (N, W, 2)
-        down = pnq[..., 0].astype(jnp.int32)
-        up = pnq[..., 1].astype(jnp.int32)
         d_dn = (down - wgrid).astype(jnp.float32)
         d_up = (up - wgrid).astype(jnp.float32)
 

@@ -36,7 +36,7 @@ def main():
 
     # Input: a real test image if available, else synthetic texture data
     src = "/root/reference/Test/Images/Small/LDR-RGB/ldr-rgb-00.png"
-    size = int(os.environ.get("ASTC_BENCH_SIZE", "256"))
+    size = int(os.environ.get("ASTC_BENCH_SIZE", "1024"))
     if os.path.exists(src):
         from PIL import Image
         img = Image.open(src).convert("RGBA")
