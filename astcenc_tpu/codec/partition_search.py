@@ -13,7 +13,10 @@ import numpy as np
 
 import jax.numpy as jnp
 
+from ..ops import gather_pallas as gather_ops
 from ..ops import ideal as ideal_ops
+from ..ops import psearch_pallas as psearch_ops
+from ..ops import refine_pallas as refine_ops
 
 _CLUSTER_CUTOFFS = np.array([
     0.626220, 0.932770, 0.275454,
@@ -180,9 +183,18 @@ def find_best_partition_candidates(st, bsd, cw, partition_count: int,
     uses_alpha = st["uses_alpha"]  # (N,) bool
     cwj = jnp.array(cw, jnp.float32)
 
+    S = search
+    if gather_ops._use_pallas() and T <= 128:
+        # Kernel-fused ranking: texels are read once per block tile instead
+        # of materializing the (N*S, T, 4) candidate-folded tensors.
+        potS = pot_all[top]                                  # (N, S, T)
+        texk = refine_ops.pack_tex(texels)
+        uncor, samec = psearch_ops.line_errors(
+            potS, texk, uses_alpha, partition_count, wie, cw)
+        return _select_candidates(uncor, samec, seeds_all, top, N, S, reqc)
+
     # Vectorize the detailed ranking over all top candidates at once by
     # folding the candidate axis into the batch axis.
-    S = search
     pot = pot_all[top].reshape(N * S, T)
     counts_f = ptc_all[top].reshape(N * S, 4).astype(jnp.float32)
     tex_rep = jnp.broadcast_to(texels[:, None], (N, S, T, 4)).reshape(
@@ -229,8 +241,11 @@ def find_best_partition_candidates(st, bsd, cw, partition_count: int,
     ua_rep = jnp.repeat(uses_alpha, S)
     uncor = jnp.where(ua_rep, u4, u3).reshape(N, S)
     samec = jnp.where(ua_rep, s4, s3).reshape(N, S)
+    return _select_candidates(uncor, samec, seeds_all, top, N, S, reqc)
 
-    # Keep the best `reqc` of each, interleave, dedup by seed
+
+def _select_candidates(uncor, samec, seeds_all, top, N, S, reqc):
+    """Keep the best `reqc` of each metric, interleave, dedup by seed."""
     u_order = jnp.argsort(uncor, axis=-1, stable=True)[:, :reqc]
     s_order = jnp.argsort(samec, axis=-1, stable=True)[:, :reqc]
     u_seeds = seeds_all[jnp.take_along_axis(top, u_order, 1)]

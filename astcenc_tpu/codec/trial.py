@@ -21,10 +21,12 @@ from ..ops import color_pack as cpack
 from ..ops import color_pack_hdr as cph
 from ..ops import color_unquant as cuq
 from ..ops import formats as fmts
+from ..ops import gather_pallas as gather_ops
 from ..ops import ideal as ideal_ops
 from ..ops import lut as lut_ops
 from ..ops import realign as realign_ops
 from ..ops import recompute as recompute_ops
+from ..ops import refine_pallas as refine_ops
 from ..tables import ise, quant
 
 ERROR_CALC_DEFAULT = 1e30
@@ -420,14 +422,9 @@ def trial1_records(st, et: EncoderTables, cfg, profile: int,
     R = cfg.tune_refinement_limit
     NC = N * C
 
-    dec_int_j = jnp.asarray(dec_int_np)
-    dec_f32_j = jnp.asarray(dec_f32_np)
-    wvalid_j = jnp.asarray(wvalid_np)
-    pn = jnp.asarray(et.weight_prev_next)
     mode_index_j = jnp.asarray(mode_index_sel)
     quant_m_j = jnp.asarray(quant_m)
     dm_m_j = jnp.asarray(dm_m)
-    color_j = jnp.asarray(dm_color_np)
 
     cand_c = jnp.clip(cand_modes, 0, M1 - 1)             # (N, C)
     mode_f = cand_c.reshape(NC)
@@ -458,20 +455,8 @@ def trial1_records(st, et: EncoderTables, cfg, profile: int,
                                 ).astype(jnp.int32), 0, 20).reshape(NC)
     wgrid0 = jnp.einsum("ncm,nmw->ncw", ohc, uq.astype(jnp.float32)
                         ).astype(jnp.int32).reshape(NC, W)
-    oh_dmf = lut_ops.onehot(dm_f, D)                     # (NC, D)
-    Mint_f = jnp.einsum("nd,dtw->ntw", oh_dmf, dec_int_j)
-    Mf32_f = jnp.einsum("nd,dtw->ntw", oh_dmf, dec_f32_j)
-    incid_f = (Mint_f != 0).astype(jnp.float32)
-    wvalid_f = jnp.einsum("nd,dw->nw", oh_dmf,
-                          wvalid_j.astype(jnp.float32)) > 0.5
-    color_f = jnp.einsum("nd,dw->nw", oh_dmf,
-                         color_j.astype(jnp.float32)).astype(jnp.int32)
-
-    def refine_step(rcarry, r):
-        wgrid, ep0_c, ep1_c, alive = rcarry
-
-        undec = jnp.einsum("ntw,nw->nt", Mf32_f,
-                           wgrid.astype(jnp.float32)) / 64.0
+    def fit_and_pack(undec, ep0_c, ep1_c):
+        """LS endpoint refit + color pack + decode for the current grid."""
         rc = recompute_ops.recompute_ideal_colors_1plane(
             tex_f, pmask_f, counts_f, undec, cw, ep0_c, ep1_c,
             is_hdr=(profile >= 2))
@@ -507,48 +492,107 @@ def trial1_records(st, et: EncoderTables, cfg, profile: int,
 
         fmt4 = jnp.zeros((NC, 4), jnp.int32).at[:, :pc].set(fmt_p)
         vals4 = jnp.zeros((NC, 4, 8), jnp.int32).at[:, :pc].set(vals_p)
-
         ep0i, ep1i = _decode_endpoints(profile, fmt4, vals4)
-        # Per-texel endpoints, shared by both error evals and realign.
-        ep0_t = jnp.einsum("ntp,npc->ntc", pmask_f, ep0i.astype(jnp.float32))
-        ep1_t = jnp.einsum("ntp,npc->ntc", pmask_f, ep1i.astype(jnp.float32))
+        return ep0_c, ep1_c, fmt4, vals4, use_q, matched, ep0i, ep1i
 
-        if r == 0:
-            # err_pre is only recorded for round 0 (the record stream is
-            # [r0-pre, r0-post, r1-post, ...]); skip the dead eval otherwise.
-            err_pre = trial_error_1plane(tex_f, pmask_f, fmt4, vals4, wgrid,
-                                         Mint_f, cw, profile, u8_mask,
-                                         rgbm_scale=cfg.rgbm_scale,
-                                         ep_t=(ep0_t, ep1_t))
-            err_pre = jnp.where(alive, err_pre, jnp.float32(1e30))
-        else:
-            err_pre = jnp.full(wgrid.shape[:1], jnp.float32(1e30))
-        w_pre = wgrid
-
-        new_wgrid, adjusted = realign_ops.realign_decimated_grouped(
-            wgrid, tex_f, pmask_f, ep0i, ep1i,
-            cw, pn, wq_f, Mf32_f, incid_f, wvalid_f, color_f, et.ncolors,
-            ep_t=(ep0_t, ep1_t))
-        wgrid = jnp.where(alive[:, None], new_wgrid, wgrid)
-
-        err_post = trial_error_1plane(tex_f, pmask_f, fmt4, vals4, wgrid,
-                                      Mint_f, cw, profile, u8_mask,
-                                      rgbm_scale=cfg.rgbm_scale,
-                                      ep_t=(ep0_t, ep1_t))
-        err_post = jnp.where(alive, err_post, jnp.float32(1e30))
-        alive = alive & adjusted
-
-        ys = (fmt4, vals4, use_q, matched, w_pre, err_pre, wgrid, err_post)
-        return (wgrid, ep0_c, ep1_c, alive), ys
-
-    # Unrolled refinement (R is a small static count): a lax.scan here costs
-    # a full copy of every carry per iteration on TPU and blocks fusion
-    # across rounds.
-    rcarry = (wgrid0, rep(ei["ep0"]), rep(ei["ep1"]), valid_f)
+    use_rk = (gather_ops._use_pallas() and cfg.rgbm_scale == 0.0
+              and T <= 128 and W <= 64)
     ys_rounds = []
-    for r in range(R):
-        rcarry, y = refine_step(rcarry, r)
-        ys_rounds.append(y)
+    if use_rk:
+        # Fused Pallas refine rounds: the stencil selections and per-texel
+        # endpoint tensors never touch HBM (see ops/refine_pallas.py).
+        rtabs = refine_ops.RefineTables(dec_int_np, dec_f32_np, dm_color_np,
+                                        wvalid_np, et.weight_prev_next)
+        pot_f = rep(pot)
+        texk = refine_ops.pack_tex(tex_f)
+        zero_ep = jnp.zeros((NC, 4, 4), jnp.int32)
+        meta0 = refine_ops.pack_meta(wgrid0, dm_f, wq_f, valid_f,
+                                     zero_ep, zero_ep, pot_f, T)
+        _, _, undec, _, _ = refine_ops.refine_round_1plane(
+            rtabs, meta0, texk, 0, u8_mask, cw)
+        wgrid = wgrid0
+        alive = valid_f
+        ep0_c, ep1_c = rep(ei["ep0"]), rep(ei["ep1"])
+        for r in range(R):
+            (ep0_c, ep1_c, fmt4, vals4, use_q, matched,
+             ep0i, ep1i) = fit_and_pack(undec, ep0_c, ep1_c)
+            meta = refine_ops.pack_meta(wgrid, dm_f, wq_f, alive,
+                                        ep0i, ep1i, pot_f, T)
+            (new_w, adjusted, undec, err_pre_k,
+             err_post_k) = refine_ops.refine_round_1plane(
+                rtabs, meta, texk, et.ncolors, u8_mask, cw)
+            if r == 0:
+                err_pre = jnp.where(alive, err_pre_k, jnp.float32(1e30))
+            else:
+                err_pre = jnp.full((NC,), jnp.float32(1e30))
+            w_pre = wgrid
+            wgrid = jnp.where(alive[:, None], new_w, wgrid)
+            err_post = jnp.where(alive, err_post_k, jnp.float32(1e30))
+            alive = alive & adjusted
+            ys_rounds.append((fmt4, vals4, use_q, matched, w_pre, err_pre,
+                              wgrid, err_post))
+    else:
+        dec_int_j = jnp.asarray(dec_int_np)
+        dec_f32_j = jnp.asarray(dec_f32_np)
+        wvalid_j = jnp.asarray(wvalid_np)
+        pn = jnp.asarray(et.weight_prev_next)
+        color_j = jnp.asarray(dm_color_np)
+        oh_dmf = lut_ops.onehot(dm_f, D)                 # (NC, D)
+        Mint_f = jnp.einsum("nd,dtw->ntw", oh_dmf, dec_int_j)
+        Mf32_f = jnp.einsum("nd,dtw->ntw", oh_dmf, dec_f32_j)
+        incid_f = (Mint_f != 0).astype(jnp.float32)
+        wvalid_f = jnp.einsum("nd,dw->nw", oh_dmf,
+                              wvalid_j.astype(jnp.float32)) > 0.5
+        color_f = jnp.einsum("nd,dw->nw", oh_dmf,
+                             color_j.astype(jnp.float32)).astype(jnp.int32)
+
+        def refine_step(rcarry, r):
+            wgrid, ep0_c, ep1_c, alive = rcarry
+
+            undec = jnp.einsum("ntw,nw->nt", Mf32_f,
+                               wgrid.astype(jnp.float32)) / 64.0
+            (ep0_c, ep1_c, fmt4, vals4, use_q, matched,
+             ep0i, ep1i) = fit_and_pack(undec, ep0_c, ep1_c)
+            # Per-texel endpoints, shared by both error evals and realign.
+            ep0_t = jnp.einsum("ntp,npc->ntc", pmask_f,
+                               ep0i.astype(jnp.float32))
+            ep1_t = jnp.einsum("ntp,npc->ntc", pmask_f,
+                               ep1i.astype(jnp.float32))
+
+            if r == 0:
+                # err_pre is only recorded for round 0 (the record stream is
+                # [r0-pre, r0-post, r1-post, ...]); skip the dead eval else.
+                err_pre = trial_error_1plane(
+                    tex_f, pmask_f, fmt4, vals4, wgrid, Mint_f, cw, profile,
+                    u8_mask, rgbm_scale=cfg.rgbm_scale, ep_t=(ep0_t, ep1_t))
+                err_pre = jnp.where(alive, err_pre, jnp.float32(1e30))
+            else:
+                err_pre = jnp.full(wgrid.shape[:1], jnp.float32(1e30))
+            w_pre = wgrid
+
+            new_wgrid, adjusted = realign_ops.realign_decimated_grouped(
+                wgrid, tex_f, pmask_f, ep0i, ep1i,
+                cw, pn, wq_f, Mf32_f, incid_f, wvalid_f, color_f,
+                et.ncolors, ep_t=(ep0_t, ep1_t))
+            wgrid = jnp.where(alive[:, None], new_wgrid, wgrid)
+
+            err_post = trial_error_1plane(
+                tex_f, pmask_f, fmt4, vals4, wgrid, Mint_f, cw, profile,
+                u8_mask, rgbm_scale=cfg.rgbm_scale, ep_t=(ep0_t, ep1_t))
+            err_post = jnp.where(alive, err_post, jnp.float32(1e30))
+            alive = alive & adjusted
+
+            ys = (fmt4, vals4, use_q, matched, w_pre, err_pre, wgrid,
+                  err_post)
+            return (wgrid, ep0_c, ep1_c, alive), ys
+
+        # Unrolled refinement (R is a small static count): a lax.scan here
+        # costs a full copy of every carry per iteration on TPU and blocks
+        # fusion across rounds.
+        rcarry = (wgrid0, rep(ei["ep0"]), rep(ei["ep1"]), valid_f)
+        for r in range(R):
+            rcarry, y = refine_step(rcarry, r)
+            ys_rounds.append(y)
     ys = tuple(jnp.stack([yr[i] for yr in ys_rounds], axis=0)
                for i in range(len(ys_rounds[0])))
     (fmt4_r, vals4_r, useq_r, match_r, wpre_r, epre_r, wpost_r,
@@ -915,77 +959,116 @@ def trial2_records(st, et: EncoderTables, cfg, profile: int,
                        ).astype(jnp.int32).reshape(NC, W)
     wg2_0 = jnp.einsum("ncm,nmw->ncw", ohc, uq2.astype(jnp.float32)
                        ).astype(jnp.int32).reshape(NC, W)
-    oh_dmf = lut_ops.onehot(dm_f, D2)                    # (NC, D2)
-    Mint_f = jnp.einsum("nd,dtw->ntw", oh_dmf, jnp.asarray(et.dec_int))
-    Mf32_f = jnp.einsum("nd,dtw->ntw", oh_dmf, jnp.asarray(et.dec_f32))
-    incid_f = (Mint_f != 0).astype(jnp.float32)
-    wvalid_f = jnp.einsum("nd,dw->nw", oh_dmf,
-                          wvalid_j.astype(jnp.float32)) > 0.5
-    color_f = jnp.einsum("nd,dw->nw", oh_dmf,
-                         color_j.astype(jnp.float32)).astype(jnp.int32)
-
-    def refine_step(rcarry, r):
-        wg1, wg2, ep0_c, ep1_c, alive = rcarry
-
-        u1 = jnp.einsum("ntw,nw->nt", Mf32_f, wg1.astype(jnp.float32)) / 64.0
-        u2 = jnp.einsum("ntw,nw->nt", Mf32_f, wg2.astype(jnp.float32)) / 64.0
+    def fit_and_pack2(u1, u2, ep0_c, ep1_c):
         rc = recompute_ops.recompute_ideal_colors_2planes(
             tex_f, u1, u2, p2c_f, cw, mean_f, ep0_c, ep1_c,
             is_hdr=(profile >= 2))
         ep0_c, ep1_c = rc["ep0"], rc["ep1"]
-
         fmt_p, vals_p = cph.pack_color_endpoints(
             profile, ep0_c, ep1_c, rc["rgbs"], rc["rgbo"], fmt_req_f, cq_f)
         fmt4 = jnp.zeros((NC, 4), jnp.int32).at[:, 0].set(fmt_p)
         vals4 = jnp.zeros((NC, 4, 8), jnp.int32).at[:, 0].set(vals_p)
-
         ep0i, ep1i = _decode_endpoints(profile, fmt4, vals4)
-        ep_pair = (ep0i[:, 0], ep1i[:, 0])
-        # Single-partition trial: the per-texel endpoint "einsum" is a plain
-        # broadcast, shared by both error evals and the two realign passes.
-        ep0_t = jnp.broadcast_to(ep0i[:, :1].astype(jnp.float32),
-                                 tex_f.shape)
-        ep1_t = jnp.broadcast_to(ep1i[:, :1].astype(jnp.float32),
-                                 tex_f.shape)
+        return ep0_c, ep1_c, fmt_p, vals_p, fmt4, vals4, ep0i, ep1i
 
-        if r == 0:
-            err_pre = trial_error_2plane(tex_f, fmt_p, vals_p, wg1, wg2,
-                                         p2c_f, Mint_f, cw, profile, u8_mask,
-                                         rgbm_scale=cfg.rgbm_scale,
-                                         ep=ep_pair)
-            err_pre = jnp.where(alive, err_pre, jnp.float32(1e30))
-        else:
-            err_pre = jnp.full(wg1.shape[:1], jnp.float32(1e30))
-        w1_pre, w2_pre = wg1, wg2
-
-        nw1, adj1 = realign_ops.realign_decimated_grouped(
-            wg1, tex_f, pmask_f, ep0i, ep1i, cw, pn, wq_f, Mf32_f,
-            incid_f, wvalid_f, color_f, et.ncolors, plane_mask=p2lanes_f,
-            ep_t=(ep0_t, ep1_t))
-        nw2, adj2 = realign_ops.realign_decimated_grouped(
-            wg2, tex_f, pmask_f, ep0i, ep1i, cw, pn, wq_f, Mf32_f,
-            incid_f, wvalid_f, color_f, et.ncolors, plane_mask=~p2lanes_f,
-            ep_t=(ep0_t, ep1_t))
-        wg1 = jnp.where(alive[:, None], nw1, wg1)
-        wg2 = jnp.where(alive[:, None], nw2, wg2)
-        adjusted = adj1 | adj2
-
-        err_post = trial_error_2plane(tex_f, fmt_p, vals_p, wg1, wg2, p2c_f,
-                                      Mint_f, cw, profile, u8_mask,
-                                      rgbm_scale=cfg.rgbm_scale,
-                                      ep=ep_pair)
-        err_post = jnp.where(alive, err_post, jnp.float32(1e30))
-        alive = alive & adjusted
-
-        ys = (fmt4, vals4, w1_pre, w2_pre, err_pre, wg1, wg2, err_post)
-        return (wg1, wg2, ep0_c, ep1_c, alive), ys
-
-    # Unrolled refinement; see the 1-plane variant for rationale.
-    rcarry = (wg1_0, wg2_0, rep(ep0m[:, 0]), rep(ep1m[:, 0]), valid_f)
+    T2 = texels.shape[1]
+    use_rk = (gather_ops._use_pallas() and cfg.rgbm_scale == 0.0
+              and T2 <= 128 and W <= 63)
     ys_rounds = []
-    for r in range(R):
-        rcarry, y = refine_step(rcarry, r)
-        ys_rounds.append(y)
+    if use_rk:
+        rtabs = refine_ops.RefineTables(et.dec_int, et.dec_f32, et.dm_color,
+                                        wvalid_np, et.weight_prev_next)
+        texk = refine_ops.pack_tex(tex_f)
+        zero4 = jnp.zeros((NC, 4), jnp.int32)
+        meta0 = refine_ops.pack_meta_2plane(wg1_0, wg2_0, dm_f, wq_f,
+                                            valid_f, p2c_f, zero4, zero4)
+        _, _, _, u1, u2, _, _ = refine_ops.refine_round_2plane(
+            rtabs, meta0, texk, 0, u8_mask, cw)
+        wg1, wg2 = wg1_0, wg2_0
+        alive = valid_f
+        ep0_c, ep1_c = rep(ep0m[:, 0]), rep(ep1m[:, 0])
+        for r in range(R):
+            (ep0_c, ep1_c, fmt_p, vals_p, fmt4, vals4,
+             ep0i, ep1i) = fit_and_pack2(u1, u2, ep0_c, ep1_c)
+            meta = refine_ops.pack_meta_2plane(
+                wg1, wg2, dm_f, wq_f, alive, p2c_f,
+                ep0i[:, 0], ep1i[:, 0])
+            (nw1, nw2, adjusted, u1, u2, err_pre_k,
+             err_post_k) = refine_ops.refine_round_2plane(
+                rtabs, meta, texk, et.ncolors, u8_mask, cw)
+            if r == 0:
+                err_pre = jnp.where(alive, err_pre_k, jnp.float32(1e30))
+            else:
+                err_pre = jnp.full((NC,), jnp.float32(1e30))
+            w1_pre, w2_pre = wg1, wg2
+            wg1 = jnp.where(alive[:, None], nw1, wg1)
+            wg2 = jnp.where(alive[:, None], nw2, wg2)
+            err_post = jnp.where(alive, err_post_k, jnp.float32(1e30))
+            alive = alive & adjusted
+            ys_rounds.append((fmt4, vals4, w1_pre, w2_pre, err_pre,
+                              wg1, wg2, err_post))
+    else:
+        oh_dmf = lut_ops.onehot(dm_f, D2)                # (NC, D2)
+        Mint_f = jnp.einsum("nd,dtw->ntw", oh_dmf, jnp.asarray(et.dec_int))
+        Mf32_f = jnp.einsum("nd,dtw->ntw", oh_dmf, jnp.asarray(et.dec_f32))
+        incid_f = (Mint_f != 0).astype(jnp.float32)
+        wvalid_f = jnp.einsum("nd,dw->nw", oh_dmf,
+                              wvalid_j.astype(jnp.float32)) > 0.5
+        color_f = jnp.einsum("nd,dw->nw", oh_dmf,
+                             color_j.astype(jnp.float32)).astype(jnp.int32)
+
+        def refine_step(rcarry, r):
+            wg1, wg2, ep0_c, ep1_c, alive = rcarry
+
+            u1 = jnp.einsum("ntw,nw->nt", Mf32_f,
+                            wg1.astype(jnp.float32)) / 64.0
+            u2 = jnp.einsum("ntw,nw->nt", Mf32_f,
+                            wg2.astype(jnp.float32)) / 64.0
+            (ep0_c, ep1_c, fmt_p, vals_p, fmt4, vals4,
+             ep0i, ep1i) = fit_and_pack2(u1, u2, ep0_c, ep1_c)
+            ep_pair = (ep0i[:, 0], ep1i[:, 0])
+            # Single-partition trial: the per-texel endpoint "einsum" is a
+            # plain broadcast, shared by error evals and realign passes.
+            ep0_t = jnp.broadcast_to(ep0i[:, :1].astype(jnp.float32),
+                                     tex_f.shape)
+            ep1_t = jnp.broadcast_to(ep1i[:, :1].astype(jnp.float32),
+                                     tex_f.shape)
+
+            if r == 0:
+                err_pre = trial_error_2plane(
+                    tex_f, fmt_p, vals_p, wg1, wg2, p2c_f, Mint_f, cw,
+                    profile, u8_mask, rgbm_scale=cfg.rgbm_scale, ep=ep_pair)
+                err_pre = jnp.where(alive, err_pre, jnp.float32(1e30))
+            else:
+                err_pre = jnp.full(wg1.shape[:1], jnp.float32(1e30))
+            w1_pre, w2_pre = wg1, wg2
+
+            nw1, adj1 = realign_ops.realign_decimated_grouped(
+                wg1, tex_f, pmask_f, ep0i, ep1i, cw, pn, wq_f, Mf32_f,
+                incid_f, wvalid_f, color_f, et.ncolors,
+                plane_mask=p2lanes_f, ep_t=(ep0_t, ep1_t))
+            nw2, adj2 = realign_ops.realign_decimated_grouped(
+                wg2, tex_f, pmask_f, ep0i, ep1i, cw, pn, wq_f, Mf32_f,
+                incid_f, wvalid_f, color_f, et.ncolors,
+                plane_mask=~p2lanes_f, ep_t=(ep0_t, ep1_t))
+            wg1 = jnp.where(alive[:, None], nw1, wg1)
+            wg2 = jnp.where(alive[:, None], nw2, wg2)
+            adjusted = adj1 | adj2
+
+            err_post = trial_error_2plane(
+                tex_f, fmt_p, vals_p, wg1, wg2, p2c_f, Mint_f, cw, profile,
+                u8_mask, rgbm_scale=cfg.rgbm_scale, ep=ep_pair)
+            err_post = jnp.where(alive, err_post, jnp.float32(1e30))
+            alive = alive & adjusted
+
+            ys = (fmt4, vals4, w1_pre, w2_pre, err_pre, wg1, wg2, err_post)
+            return (wg1, wg2, ep0_c, ep1_c, alive), ys
+
+        # Unrolled refinement; see the 1-plane variant for rationale.
+        rcarry = (wg1_0, wg2_0, rep(ep0m[:, 0]), rep(ep1m[:, 0]), valid_f)
+        for r in range(R):
+            rcarry, y = refine_step(rcarry, r)
+            ys_rounds.append(y)
     ys = tuple(jnp.stack([yr[i] for yr in ys_rounds], axis=0)
                for i in range(len(ys_rounds[0])))
     (fmt4_r, vals4_r, w1pre_r, w2pre_r, epre_r, w1post_r, w2post_r,

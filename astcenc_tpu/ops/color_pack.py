@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from ..tables import ise, quant
 from . import color_unquant as cuq
+from . import gather_pallas as gather_ops
 from . import lut as lut_ops
 
 _BIG = jnp.float32(1e30)
@@ -83,16 +84,17 @@ class QuantQ:
     def lookup_many(self, vals):
         """Batched lookup: vals (B, K) int -> (lo, hi) int32 (B, K).
 
-        One 256-step compare/select chain over the block's packed row —
-        a single elementwise XLA fusion, replacing the per-call-site
-        factored one-hot matmuls (dozens of tiny dot_generals per pack).
+        One hardware gather against the block's packed row (Pallas
+        dynamic-gather on TPU; one-hot contraction fallback elsewhere),
+        replacing the per-call-site factored one-hot matmuls (dozens of
+        tiny dot_generals per pack).
         """
-        rows1 = self.rows1
         v = jnp.clip(vals, 0, 255)
-        acc = jnp.zeros(v.shape, jnp.float32)
-        for k in range(256):
-            acc = jnp.where(v == k, rows1[:, k:k + 1], acc)
-        packed = acc.astype(jnp.int32)
+        if gather_ops._use_pallas():
+            lo, hi = _quant_tables()
+            packed = gather_ops.master_lookup(self.idx, v, lo, hi)
+        else:
+            packed = gather_ops.row_lookup(self.rows1, v).astype(jnp.int32)
         return packed & 0xFF, packed >> 8
 
     def __getitem__(self, key):
@@ -108,7 +110,13 @@ class QuantQ:
         """(lo, hi) table values for ``value``: (B, ...) -> (B, ..., 2)."""
         B = value.shape[0]
         flat = jnp.clip(value.reshape(B, -1), 0, 255)
-        out = lut_ops.lookup_rows(self.rows, flat, a=32)
+        if gather_ops._use_pallas():
+            lo, hi = _quant_tables()
+            packed = gather_ops.master_lookup(self.idx, flat, lo, hi)
+            out = jnp.stack([packed & 0xFF, packed >> 8],
+                            axis=-1).astype(jnp.float32)
+        else:
+            out = gather_ops.row_lookup(self.rows, flat)
         return out.reshape(value.shape + (2,))
 
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from . import gather_pallas as gather_ops
 from . import lut as lut_ops
 
 
@@ -59,7 +60,7 @@ def realign_undecimated(weights, texels, pmask, ep0i, ep1i, channel_weight,
 
     uqw = weights
     rows = _pn_rows(pn, quant_of_block)                      # (N, 65, 2)
-    pnq = lut_ops.lookup_rows(rows, jnp.clip(uqw, 0, 64))    # (N, T, 2)
+    pnq = gather_ops.row_lookup(rows, jnp.clip(uqw, 0, 64))  # (N, T, 2)
     down = pnq[..., 0].astype(jnp.int32)
     up = pnq[..., 1].astype(jnp.int32)
 
@@ -132,7 +133,7 @@ def realign_decimated(dec_weights, texels, pmask, ep0i, ep1i, channel_weight,
         SC = jnp.sum(ind_j * Mf_j * Mf_j * C_t, axis=1)
 
         uqw = wgrid[:, j]
-        pnq = lut_ops.lookup_rows(rows, jnp.clip(uqw, 0, 64)[:, None])[:, 0]
+        pnq = gather_ops.row_lookup(rows, jnp.clip(uqw, 0, 64)[:, None])[:, 0]
         down = pnq[:, 0].astype(jnp.int32)
         up = pnq[:, 1].astype(jnp.int32)
         d_dn = (down - uqw).astype(jnp.float32)
@@ -214,7 +215,7 @@ def realign_decimated_grouped(dec_weights, texels, pmask, ep0i, ep1i,
     # slot's own (single) update, so the initial-wgrid lookup is exact for
     # every class step.
     SC = jnp.einsum("ntw,nt->nw", dec_f32 * dec_f32, C_t)
-    pnq = lut_ops.lookup_rows(rows, jnp.clip(wgrid, 0, 64))  # (N, W, 2)
+    pnq = gather_ops.row_lookup(rows, jnp.clip(wgrid, 0, 64))  # (N, W, 2)
     down = pnq[..., 0].astype(jnp.int32)
     up = pnq[..., 1].astype(jnp.int32)
 

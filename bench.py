@@ -57,7 +57,7 @@ def main():
     texels_np = _blockify(data, block)
     n_texels = texels_np.shape[0] * texels_np.shape[1]
 
-    chunk = int(os.environ.get("ASTC_CHUNK", "16384"))
+    chunk = int(os.environ.get("ASTC_CHUNK", "8192"))
     nblocks = texels_np.shape[0]
     pad = (-nblocks) % chunk if nblocks > chunk else chunk - nblocks
     if pad:
