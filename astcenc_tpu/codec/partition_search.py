@@ -164,9 +164,11 @@ def find_best_partition_candidates(st, bsd, cw, partition_count: int,
     kt = jnp.asarray(bsd.kmeans_texels.astype(np.int32))
     km_at = km_part[:, kt]                                   # (N, <=64)
     nk = kt.shape[0]
-    akm = jnp.zeros((N, 4, 64), bool)
-    akm = akm.at[jnp.arange(N)[:, None],
-                 km_at, jnp.arange(nk)[None, :]].set(True)
+    # Coverage bitmap as a broadcast compare — a scatter here lowers to a
+    # sort-based emulation on TPU.
+    km_pad = jnp.full((N, 64), -1, km_at.dtype).at[:, :nk].set(km_at)
+    akm = (km_pad[:, None, :]
+           == jnp.arange(4, dtype=km_at.dtype)[None, :, None])  # (N, 4, 64)
 
     cov = jnp.asarray(parts["coverage"])                      # (Q, 4, 64)
     mism = partition_mismatch(akm, cov, partition_count)      # (N, Q)

@@ -498,7 +498,30 @@ def trial1_records(st, et: EncoderTables, cfg, profile: int,
     use_rk = (gather_ops._use_pallas() and cfg.rgbm_scale == 0.0
               and T <= 128 and W <= 64)
     ys_rounds = []
-    if use_rk:
+    if use_rk and profile < 2:
+        # Whole-trial fused kernel: all R rounds of LS refit + LDR color
+        # pack + decode + realign + trial errors run in VMEM
+        # (see ops/refine_pallas.py::_trial1_full_kernel).
+        rtabs = refine_ops.RefineTables(dec_int_np, dec_f32_np, dm_color_np,
+                                        wvalid_np, et.weight_prev_next)
+        pot_f = rep(pot)
+        texk = refine_ops.pack_tex(tex_f)
+        meta = refine_ops.pack_meta_full(wgrid0, dm_f, wq_f, valid_f,
+                                         cq_f, cqm_f, fmt_req_f, pot_f, T)
+        fmeta = jnp.concatenate(
+            [rep(ei["ep0"]).reshape(NC, 16),
+             rep(ei["ep1"]).reshape(NC, 16)], axis=1)
+        (fmt4_k, vals4_k, useq_k, match_k, wpost_k, errpre_k,
+         errpost_k) = refine_ops.trial1_refine_full(
+            rtabs, meta, fmeta, texk, et.ncolors, u8_mask, cw, R, pc,
+            profile)
+        for r in range(R):
+            w_pre = wgrid0 if r == 0 else wpost_k[r - 1]
+            err_pre = (errpre_k if r == 0
+                       else jnp.full((NC,), jnp.float32(1e30)))
+            ys_rounds.append((fmt4_k[r], vals4_k[r], useq_k[r], match_k[r],
+                              w_pre, err_pre, wpost_k[r], errpost_k[r]))
+    elif use_rk:
         # Fused Pallas refine rounds: the stencil selections and per-texel
         # endpoint tensors never touch HBM (see ops/refine_pallas.py).
         rtabs = refine_ops.RefineTables(dec_int_np, dec_f32_np, dm_color_np,
@@ -975,7 +998,29 @@ def trial2_records(st, et: EncoderTables, cfg, profile: int,
     use_rk = (gather_ops._use_pallas() and cfg.rgbm_scale == 0.0
               and T2 <= 128 and W <= 63)
     ys_rounds = []
-    if use_rk:
+    if use_rk and profile < 2:
+        # Whole-trial fused kernel (see _trial2_full_kernel).
+        rtabs = refine_ops.RefineTables(et.dec_int, et.dec_f32, et.dm_color,
+                                        wvalid_np, et.weight_prev_next)
+        texk = refine_ops.pack_tex(tex_f)
+        meta = refine_ops.pack_meta_full2(wg1_0, wg2_0, dm_f, wq_f, valid_f,
+                                          cq_f, fmt_req_f, p2c_f)
+        fmeta = jnp.pad(jnp.concatenate(
+            [rep(ep0m[:, 0]), rep(ep1m[:, 0]), mean_f], axis=1),
+            ((0, 0), (0, 4)))
+        (fmt_k, vals_k, w1_k, w2_k, errpre_k,
+         errpost_k) = refine_ops.trial2_refine_full(
+            rtabs, meta, fmeta, texk, et.ncolors, u8_mask, cw, R, profile)
+        for r in range(R):
+            fmt4 = jnp.zeros((NC, 4), jnp.int32).at[:, 0].set(fmt_k[r])
+            vals4 = jnp.zeros((NC, 4, 8), jnp.int32).at[:, 0].set(vals_k[r])
+            w1_pre = wg1_0 if r == 0 else w1_k[r - 1]
+            w2_pre = wg2_0 if r == 0 else w2_k[r - 1]
+            err_pre = (errpre_k if r == 0
+                       else jnp.full((NC,), jnp.float32(1e30)))
+            ys_rounds.append((fmt4, vals4, w1_pre, w2_pre, err_pre,
+                              w1_k[r], w2_k[r], errpost_k[r]))
+    elif use_rk:
         rtabs = refine_ops.RefineTables(et.dec_int, et.dec_f32, et.dm_color,
                                         wvalid_np, et.weight_prev_next)
         texk = refine_ops.pack_tex(tex_f)

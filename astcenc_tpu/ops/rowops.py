@@ -21,6 +21,7 @@ astcenc_color_unquantize.cpp:844-1023 (unpack dispatch).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from . import color_unquant as cuq
@@ -409,21 +410,23 @@ def pack_ldr_rows(ep0, ep1, rgbs, req_fmt, qidx, lut):
     ok_bc = ok_bc & (_sum3(c1i_bc) > _sum3(c0i_bc))
     e0_bc, e1_bc = c1i_bc, c0i_bc
 
-    # quantize_rgb nudge selection
-    any_n = None
-    c0_sel = [None] * 4
-    c1_sel = [None] * 4
-    taken = None
-    for k in range(_NUDGE_STEPS):
-        c0k = [c0[i] - 0.2 * k for i in range(4)]
-        c1k = [c1[i] + 0.2 * k for i in range(4)]
-        c0q = [jnp.maximum(_rtn(c), 0) for c in c0k]
-        c1q = [jnp.minimum(_rtn(c), 255) for c in c1k]
+    # quantize_rgb nudge selection: all 32 0.2-steps evaluated, first step
+    # with an ordered quantized sum wins (see color_pack._quantize_rgb).
+    # A fori_loop keeps the traced program small for the in-kernel path.
+    zero = jnp.zeros_like(rtn_a0)
+
+    def nudge_body(k, carry):
+        c0_sel, c1_sel, taken = carry
+        kf = k.astype(f32)
         c0i = []
         c1i = []
         for i in range(4):
-            j0 = jnp.clip(rtn_c0[i] - c0q[i], 0, 7)
-            j1 = jnp.clip(c1q[i] - rtn_c1[i], 0, 7)
+            c0k = c0[i] - 0.2 * kf
+            c1k = c1[i] + 0.2 * kf
+            c0q = jnp.maximum(_rtn(c0k), 0)
+            c1q = jnp.minimum(_rtn(c1k), 255)
+            j0 = jnp.clip(rtn_c0[i] - c0q, 0, 7)
+            j1 = jnp.clip(c1q - rtn_c1[i], 0, 7)
             lo0 = hi0 = lo1 = hi1v = None
             for j in range(8):
                 m0 = j0 == j
@@ -440,19 +443,19 @@ def pack_ldr_rows(ep0, ep1, rgbs, req_fmt, qidx, lut):
                     jnp.where(m1, l1j, lo1)
                 hi1v = jnp.where(m1, h1j, 0) if hi1v is None else \
                     jnp.where(m1, h1j, hi1v)
-            c0i.append(jnp.where((c0k[i] - c0q[i].astype(f32)) >= -0.1,
-                                 hi0, lo0))
-            c1i.append(jnp.where((c1k[i] - c1q[i].astype(f32)) >= -0.1,
+            c0i.append(jnp.where((c0k - c0q.astype(f32)) >= -0.1, hi0, lo0))
+            c1i.append(jnp.where((c1k - c1q.astype(f32)) >= -0.1,
                                  hi1v, lo1))
-        ok_n = _sum3(c0i) <= _sum3(c1i)
-        first = ok_n if taken is None else (ok_n & ~taken)
-        for i in range(4):
-            c0_sel[i] = jnp.where(first, c0i[i],
-                                  0 if c0_sel[i] is None else c0_sel[i])
-            c1_sel[i] = jnp.where(first, c1i[i],
-                                  0 if c1_sel[i] is None else c1_sel[i])
-        taken = ok_n if taken is None else (taken | ok_n)
-        any_n = taken
+        ok_n = (_sum3(c0i) <= _sum3(c1i)).astype(jnp.int32)
+        first = (ok_n & (1 - taken)) != 0
+        c0_sel = [jnp.where(first, c0i[i], c0_sel[i]) for i in range(4)]
+        c1_sel = [jnp.where(first, c1i[i], c1_sel[i]) for i in range(4)]
+        return c0_sel, c1_sel, taken | ok_n
+
+    c0_sel, c1_sel, any_i = jax.lax.fori_loop(
+        0, _NUDGE_STEPS, nudge_body,
+        ([zero] * 4, [zero] * 4, jnp.zeros_like(rtn_a0)))
+    any_n = any_i != 0
     avg_i = [lb.pick("n_avg", i, avg_v[i], avgf[i]) for i in range(4)]
     e0q = [jnp.where(any_n, c0_sel[i], avg_i[i]) for i in range(4)]
     e1q = [jnp.where(any_n, c1_sel[i], avg_i[i]) for i in range(4)]

@@ -64,21 +64,33 @@ def main():
         texels_np = np.concatenate(
             [texels_np, np.broadcast_to(texels_np[:1],
                                         (pad,) + texels_np.shape[1:])], 0)
-    chunks = [jax.device_put(texels_np[i:i + chunk])
-              for i in range(0, texels_np.shape[0], chunk)]
+    reps = int(os.environ.get("ASTC_BENCH_REPS", "5"))
+    nchunks = texels_np.shape[0] // chunk
+    # Distinct buffers per (rep, chunk) — a repeated identical dispatch can
+    # be memoized by the device tunnel and report fantasy throughput.
+    rng = np.random.RandomState(1)
+    all_chunks = []
+    for r in range(reps):
+        for i in range(0, texels_np.shape[0], chunk):
+            c = texels_np[i:i + chunk].copy()
+            c[0, 0, 0] = float(rng.randint(0, 65536))
+            all_chunks.append(jax.device_put(c))
 
     fn = compress_mod.compress_symbolic_batch_mono
 
-    # Warmup / compile (single monolithic program)
-    out = fn(ctx._dtables_key, ctx._enc_key, cfgs, chunks[0])
-    out.block_until_ready()
+    # Warmup / compile (single monolithic program); fetch to host — on
+    # tunneled backends block_until_ready can return before execution ends.
+    np.asarray(fn(ctx._dtables_key, ctx._enc_key, cfgs, all_chunks[0]))
 
-    reps = int(os.environ.get("ASTC_BENCH_REPS", "5"))
+    # Serialized dispatch+fetch per chunk: block_until_ready alone does not
+    # reliably wait on tunneled device backends, and deep in-flight queues
+    # of this memory-heavy program thrash the device allocator.
     t0 = time.perf_counter()
-    for _ in range(reps):
-        for ch in chunks:
-            out = fn(ctx._dtables_key, ctx._enc_key, cfgs, ch)
-    out.block_until_ready()
+    for ch in all_chunks:
+        ti = time.perf_counter()
+        np.asarray(fn(ctx._dtables_key, ctx._enc_key, cfgs, ch))
+        if os.environ.get("ASTC_BENCH_VERBOSE"):
+            print(f"iter: {time.perf_counter()-ti:.3f}s", flush=True)
     dt = (time.perf_counter() - t0) / reps
 
     mts = n_texels / dt / 1e6
