@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from ..config import Flags, Profile
 from ..ops import color_unquant as cuq
+from ..utils import native_host
 from . import partition_search, physical, trial
 
 ERROR_CALC_DEFAULT = 1e30
@@ -465,15 +466,21 @@ def compress_image(ctx, image, swizzle=(0, 1, 2, 3),
         zero_blocks = _alpha_zero_blocks(data[0, :, :, 3], bx, by, radius,
                                          nx, ny)
 
-    # Edge-clamp pad then reorder into (N, T, 4)
-    px, py, pz = nx * bx, ny * by, nz * bz
-    idx_x = np.minimum(np.arange(px), W - 1)
-    idx_y = np.minimum(np.arange(py), H - 1)
-    idx_z = np.minimum(np.arange(pz), Z - 1)
-    padded = data[np.ix_(idx_z, idx_y, idx_x)]
-    blocks = padded.reshape(nz, bz, ny, by, nx, bx, 4)
-    blocks = blocks.transpose(0, 2, 4, 1, 3, 5, 6).reshape(
-        nz * ny * nx, bz * by * bx, 4)
+    # Edge-clamp pad then reorder into (N, T, 4); the native host library
+    # (native/astc_host.cpp) covers the hot LDR-2D-u8 case in one pass.
+    blocks = None
+    if image.dtype == np.uint8 and profile <= 1 and bz == 1 and Z == 1:
+        blocks = native_host.blockify_2d_u8(
+            np.ascontiguousarray(image[0]), bx, by)
+    if blocks is None:
+        px, py, pz = nx * bx, ny * by, nz * bz
+        idx_x = np.minimum(np.arange(px), W - 1)
+        idx_y = np.minimum(np.arange(py), H - 1)
+        idx_z = np.minimum(np.arange(pz), Z - 1)
+        padded = data[np.ix_(idx_z, idx_y, idx_x)]
+        blocks = padded.reshape(nz, bz, ny, by, nx, bx, 4)
+        blocks = blocks.transpose(0, 2, 4, 1, 3, 5, 6).reshape(
+            nz * ny * nx, bz * by * bx, 4)
 
     # Pad the batch to a power-of-two bucket so jit caches compilations
     # across image sizes, and chunk very large batches to bound the

@@ -456,6 +456,8 @@ def _trial1_full_call(metaT, fmetaT, texT, si, sf, dmc, pn, lo, hi,
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((8, BT), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
     )(metaT, fmetaT, texT, si, sf, dmc, pn, lo, hi)
 
 
@@ -814,6 +816,8 @@ def _trial2_full_call(metaT, fmetaT, texT, si, sf, dmc, pn, lo, hi,
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((8, BT), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
     )(metaT, fmetaT, texT, si, sf, dmc, pn, lo, hi)
 
 
@@ -1265,16 +1269,37 @@ def _make_lut(qidx_row, lo_ref, hi_ref):
 
     def lut(rows):
         K = len(rows)
+        Kp = (K + 7) & ~7
         vals = jnp.concatenate(
-            [jnp.clip(r, 0, 255) for r in rows], axis=0)      # (K, BT)
-        acc_lo = jnp.zeros((K, BT), jnp.float32)
-        acc_hi = jnp.zeros((K, BT), jnp.float32)
-        # Static 256-step row-select chain (Mosaic has no value-level
-        # dynamic_slice); one compare+two selects per step on (K, BT).
-        for v in range(256):
-            m = vals == v
-            acc_lo = jnp.where(m, lo_tab[v:v + 1, :], acc_lo)
-            acc_hi = jnp.where(m, hi_tab[v:v + 1, :], acc_hi)
+            [jnp.clip(r, 0, 255) for r in rows]
+            + [jnp.zeros((Kp - K, BT), jnp.int32)], axis=0)   # (Kp, BT)
+        # Resolve lookups with the sublane hardware gather, which handles
+        # one (8, lanes) tile at a time: for each 8-row group of requests,
+        # gather from each 8-row chunk of the table and keep the in-range
+        # chunk. ~3x fewer vector ops than a 256-step select chain.
+        los = []
+        his = []
+        for g in range(Kp // 8):
+            idx8 = vals[8 * g:8 * g + 8, :]
+            acc_lo = None
+            acc_hi = None
+            for c in range(32):
+                rel = idx8 - 8 * c
+                relc = jnp.clip(rel, 0, 7)
+                glo = jnp.take_along_axis(lo_tab[8 * c:8 * c + 8, :], relc,
+                                          axis=0)
+                ghi = jnp.take_along_axis(hi_tab[8 * c:8 * c + 8, :], relc,
+                                          axis=0)
+                if acc_lo is None:
+                    acc_lo, acc_hi = glo, ghi
+                else:
+                    inb = (rel >= 0) & (rel < 8)
+                    acc_lo = jnp.where(inb, glo, acc_lo)
+                    acc_hi = jnp.where(inb, ghi, acc_hi)
+            los.append(acc_lo)
+            his.append(acc_hi)
+        acc_lo = jnp.concatenate(los, axis=0)
+        acc_hi = jnp.concatenate(his, axis=0)
         lo_rows = [acc_lo[k:k + 1].astype(jnp.int32) for k in range(K)]
         hi_rows = [acc_hi[k:k + 1].astype(jnp.int32) for k in range(K)]
         return lo_rows, hi_rows
