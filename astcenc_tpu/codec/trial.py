@@ -24,6 +24,7 @@ from ..ops import formats as fmts
 from ..ops import gather_pallas as gather_ops
 from ..ops import ideal as ideal_ops
 from ..ops import lut as lut_ops
+from ..ops import msearch_pallas as msearch_ops
 from ..ops import realign as realign_ops
 from ..ops import recompute as recompute_ops
 from ..ops import refine_pallas as refine_ops
@@ -346,45 +347,10 @@ def trial1_records(st, et: EncoderTables, cfg, profile: int,
     low_v, high_v = ang.angular_endpoints_for_quant_levels(
         dec_ideal, jnp.asarray(wvalid_np), max_precision)  # (N, D, 8)
 
-    # --- Per-mode weight quantization + error --------------------------------
+    # --- Endpoint format selection (front tables) ----------------------------
     bitcount_np = _FREE_BITS_1PLANE[pc] - weight_bits_sel
     mode_active_np = bitcount_np > 0
 
-    # low/high per (n, m)
-    ang_ok = quant_m <= ang.TUNE_MAX_ANGULAR_QUANT
-    ql_idx = np.where(ang_ok, quant_m, 0)
-    # Static (mode -> (dec, quant)) selections as constant one-hot matmuls;
-    # XLA lowers fancy indexing to gather, which scalarizes on TPU.
-    oh_dq = np.zeros((M1, D * 8), np.float32)
-    oh_dq[np.arange(M1), dm_m * 8 + ql_idx] = 1.0
-    low_flat = low_v.reshape(N, D * 8)
-    high_flat = high_v.reshape(N, D * 8)
-    low_m = jnp.where(jnp.asarray(ang_ok),
-                      jnp.einsum("md,nd->nm", jnp.asarray(oh_dq), low_flat),
-                      0.0)                             # (N, M1)
-    high_m = jnp.where(jnp.asarray(ang_ok),
-                       jnp.einsum("md,nd->nm", jnp.asarray(oh_dq), high_flat),
-                       1.0)
-    high_m = jnp.where(high_m > 1.02 * min_wt_cutoff[:, None], 1.0, high_m)
-
-    oh_md = np.zeros((M1, D), np.float32)
-    oh_md[np.arange(M1), dm_m] = 1.0
-    dec_ideal_by_mode = jnp.einsum("md,ndw->nmw", jnp.asarray(oh_md),
-                                   dec_ideal)          # (N, M1, W)
-    uqf, uq = ideal_ops.quantize_weights_for_modes(
-        dec_ideal_by_mode, low_m, high_m,
-        jnp.asarray(et.weight_quant_unquant),
-        jnp.asarray(_QUANT_LEVELS_M1), jnp.asarray(quant_m))
-
-    decf32_by_mode = jnp.asarray(dec_f32_np[dm_m])     # (M1, T, W)
-    qwt_err = ideal_ops.weight_set_error(
-        uqf, ei["weights"], ei["weight_error_scale"], decf32_by_mode)
-
-    mode_ok = (jnp.asarray(mode_active_np)[None, :]
-               & (jnp.asarray(quant_m)[None, :] <= max_wq[:, None]))
-    qwt_err = jnp.where(mode_ok, qwt_err, jnp.float32(1e38))
-
-    # --- Endpoint format selection -------------------------------------------
     eci = fmts.encoding_choice_errors(
         texels, pmask, counts, ei["ep0"], ei["ep1"], cw,
         st["is_luminance"], st["default_alpha"])
@@ -402,33 +368,9 @@ def trial1_records(st, et: EncoderTables, cfg, profile: int,
         comb_err, comb_fmt = fmts.combine_partitions(be, fm, pc)
         mod_bits = {2: 2, 3: 5, 4: 8}[pc]
 
-    bb = fmts.best_for_bitcount(comb_err, comb_fmt, et.quant_mode_table,
-                                bitcount_np, pc, mod_bits)
-    total_err = jnp.where(qwt_err >= 1e37, jnp.float32(ERROR_CALC_DEFAULT),
-                          bb["error"] + qwt_err)
-    cand_modes, cand_valid = fmts.select_candidates(
-        total_err, cfg.tune_candidate_limit)
-
-    # --- Candidate refinement: candidates folded into the batch axis ---------
-    # Each candidate's refinement trajectory is independent of the others;
-    # only the reference's take/skip bookkeeping is sequential. We therefore
-    # run all candidates at once on an (N*C) batch, record every
-    # (candidate, round) error/state, and reproduce the reference's
-    # sequential selection order post-hoc (first record beating the quality
-    # threshold wins, else the first global minimum in visit order). The
-    # reference's cross-candidate catch-up early-outs are intentionally not
-    # modeled — they only skip work whose results we compute anyway.
     C = cfg.tune_candidate_limit
     R = cfg.tune_refinement_limit
     NC = N * C
-
-    mode_index_j = jnp.asarray(mode_index_sel)
-    quant_m_j = jnp.asarray(quant_m)
-    dm_m_j = jnp.asarray(dm_m)
-
-    cand_c = jnp.clip(cand_modes, 0, M1 - 1)             # (N, C)
-    mode_f = cand_c.reshape(NC)
-    valid_f = (cand_valid & ext_valid[:, None]).reshape(NC)
 
     def rep(x):
         return jnp.repeat(x, C, axis=0)
@@ -437,24 +379,118 @@ def trial1_records(st, et: EncoderTables, cfg, profile: int,
     pmask_f = rep(pmask)
     counts_f = rep(counts)
 
-    # Candidate-axis selections as one-hot contractions (values are small
-    # ints, exact in f32); per-element gathers scalarize on TPU.
-    ohc = lut_ops.onehot(cand_c, M1)                     # (N, C, M1)
-    dm_f = jnp.einsum("ncm,m->nc", ohc, dm_m_j.astype(jnp.float32)
-                      ).astype(jnp.int32).reshape(NC)
-    wq_f = jnp.einsum("ncm,m->nc", ohc, quant_m_j.astype(jnp.float32)
-                      ).astype(jnp.int32).reshape(NC)
-    fmt_req_f = jnp.einsum("ncm,nmp->ncp", ohc,
-                           bb["formats"].astype(jnp.float32)
-                           ).astype(jnp.int32).reshape(NC, pc)
-    cq_f = jnp.clip(jnp.einsum("ncm,nm->nc", ohc,
-                               bb["quant"].astype(jnp.float32)
-                               ).astype(jnp.int32), 4, 20).reshape(NC)
-    cqm_f = jnp.clip(jnp.einsum("ncm,nm->nc", ohc,
-                                bb["quant_mod"].astype(jnp.float32)
-                                ).astype(jnp.int32), 0, 20).reshape(NC)
-    wgrid0 = jnp.einsum("ncm,nmw->ncw", ohc, uq.astype(jnp.float32)
-                        ).astype(jnp.int32).reshape(NC, W)
+    use_ms = (gather_ops._use_pallas()
+              and gather_ops._kernel_enabled("msearch")
+              and T <= 128 and W <= 64)
+    if use_ms:
+        # --- Fused Pallas mode search (see ops/msearch_pallas.py) ---------
+        # Per-mode quantize + weight-set error + format chain + top-C run
+        # in VMEM; none of the (N, M, W)/(N, M, T) tensors exist.
+        mmeta = msearch_ops.make_mode_meta(
+            quant_m, dm_m, weight_bits_sel, mode_index_sel,
+            _FREE_BITS_1PLANE[pc], et.weight_quant_unquant,
+            et.quant_mode_table, mod_bits, pc, ang.TUNE_MAX_ANGULAR_QUANT)
+        ms_tabs = msearch_ops.MsTables(dec_f32_np)
+        cfmt4 = comb_fmt if pc > 1 else comb_fmt[..., None]
+        ms = msearch_ops.mode_search(
+            ms_tabs, dec_ideal, low_v, high_v, ei["weights"],
+            ei["weight_error_scale"], min_wt_cutoff,
+            max_wq, comb_err, cfmt4, mmeta, C, pc)
+        cand_mode_idx = ms["mode"]                       # (N, C) raw 11-bit
+        cand_valid = ms["valid"]
+        valid_f = (cand_valid & ext_valid[:, None]).reshape(NC)
+        dm_f = ms["dm"].reshape(NC)
+        wq_f = ms["wq"].reshape(NC)
+        fmt_req_f = ms["fmt"].reshape(NC, pc)
+        cq_f = ms["cq"].reshape(NC)
+        cqm_f = ms["cqm"].reshape(NC)
+        wgrid0 = ms["uq"].reshape(NC, W)
+    else:
+        # --- Per-mode weight quantization + error (XLA) -------------------
+        # low/high per (n, m)
+        ang_ok = quant_m <= ang.TUNE_MAX_ANGULAR_QUANT
+        ql_idx = np.where(ang_ok, quant_m, 0)
+        # Static (mode -> (dec, quant)) selections as constant one-hot
+        # matmuls; XLA lowers fancy indexing to gather, which scalarizes
+        # on TPU.
+        oh_dq = np.zeros((M1, D * 8), np.float32)
+        oh_dq[np.arange(M1), dm_m * 8 + ql_idx] = 1.0
+        low_flat = low_v.reshape(N, D * 8)
+        high_flat = high_v.reshape(N, D * 8)
+        low_m = jnp.where(jnp.asarray(ang_ok),
+                          jnp.einsum("md,nd->nm", jnp.asarray(oh_dq),
+                                     low_flat),
+                          0.0)                             # (N, M1)
+        high_m = jnp.where(jnp.asarray(ang_ok),
+                           jnp.einsum("md,nd->nm", jnp.asarray(oh_dq),
+                                      high_flat),
+                           1.0)
+        high_m = jnp.where(high_m > 1.02 * min_wt_cutoff[:, None], 1.0,
+                           high_m)
+
+        oh_md = np.zeros((M1, D), np.float32)
+        oh_md[np.arange(M1), dm_m] = 1.0
+        dec_ideal_by_mode = jnp.einsum("md,ndw->nmw", jnp.asarray(oh_md),
+                                       dec_ideal)          # (N, M1, W)
+        uqf, uq = ideal_ops.quantize_weights_for_modes(
+            dec_ideal_by_mode, low_m, high_m,
+            jnp.asarray(et.weight_quant_unquant),
+            jnp.asarray(_QUANT_LEVELS_M1), jnp.asarray(quant_m))
+
+        decf32_by_mode = jnp.asarray(dec_f32_np[dm_m])     # (M1, T, W)
+        qwt_err = ideal_ops.weight_set_error(
+            uqf, ei["weights"], ei["weight_error_scale"], decf32_by_mode)
+
+        mode_ok = (jnp.asarray(mode_active_np)[None, :]
+                   & (jnp.asarray(quant_m)[None, :] <= max_wq[:, None]))
+        qwt_err = jnp.where(mode_ok, qwt_err, jnp.float32(1e38))
+
+        bb = fmts.best_for_bitcount(comb_err, comb_fmt, et.quant_mode_table,
+                                    bitcount_np, pc, mod_bits)
+        total_err = jnp.where(qwt_err >= 1e37,
+                              jnp.float32(ERROR_CALC_DEFAULT),
+                              bb["error"] + qwt_err)
+        cand_modes, cand_valid = fmts.select_candidates(
+            total_err, cfg.tune_candidate_limit)
+
+        # --- Candidate payload: candidates folded into the batch axis -----
+        # Each candidate's refinement trajectory is independent of the
+        # others; only the reference's take/skip bookkeeping is sequential.
+        # We therefore run all candidates at once on an (N*C) batch, record
+        # every (candidate, round) error/state, and reproduce the
+        # reference's sequential selection order post-hoc (first record
+        # beating the quality threshold wins, else the first global minimum
+        # in visit order). The reference's cross-candidate catch-up
+        # early-outs are intentionally not modeled — they only skip work
+        # whose results we compute anyway.
+        mode_index_j = jnp.asarray(mode_index_sel)
+        quant_m_j = jnp.asarray(quant_m)
+        dm_m_j = jnp.asarray(dm_m)
+
+        cand_c = jnp.clip(cand_modes, 0, M1 - 1)             # (N, C)
+        valid_f = (cand_valid & ext_valid[:, None]).reshape(NC)
+
+        # Candidate-axis selections as one-hot contractions (values are
+        # small ints, exact in f32); per-element gathers scalarize on TPU.
+        ohc = lut_ops.onehot(cand_c, M1)                     # (N, C, M1)
+        cand_mode_idx = jnp.einsum(
+            "ncm,m->nc", ohc, mode_index_j.astype(jnp.float32)
+            ).astype(jnp.int32)                              # (N, C)
+        dm_f = jnp.einsum("ncm,m->nc", ohc, dm_m_j.astype(jnp.float32)
+                          ).astype(jnp.int32).reshape(NC)
+        wq_f = jnp.einsum("ncm,m->nc", ohc, quant_m_j.astype(jnp.float32)
+                          ).astype(jnp.int32).reshape(NC)
+        fmt_req_f = jnp.einsum("ncm,nmp->ncp", ohc,
+                               bb["formats"].astype(jnp.float32)
+                               ).astype(jnp.int32).reshape(NC, pc)
+        cq_f = jnp.clip(jnp.einsum("ncm,nm->nc", ohc,
+                                   bb["quant"].astype(jnp.float32)
+                                   ).astype(jnp.int32), 4, 20).reshape(NC)
+        cqm_f = jnp.clip(jnp.einsum("ncm,nm->nc", ohc,
+                                    bb["quant_mod"].astype(jnp.float32)
+                                    ).astype(jnp.int32), 0, 20).reshape(NC)
+        wgrid0 = jnp.einsum("ncm,nmw->ncw", ohc, uq.astype(jnp.float32)
+                            ).astype(jnp.int32).reshape(NC, W)
     def fit_and_pack(undec, ep0_c, ep1_c):
         """LS endpoint refit + color pack + decode for the current grid."""
         rc = recompute_ops.recompute_ideal_colors_1plane(
@@ -495,8 +531,9 @@ def trial1_records(st, et: EncoderTables, cfg, profile: int,
         ep0i, ep1i = _decode_endpoints(profile, fmt4, vals4)
         return ep0_c, ep1_c, fmt4, vals4, use_q, matched, ep0i, ep1i
 
-    use_rk = (gather_ops._use_pallas() and cfg.rgbm_scale == 0.0
-              and T <= 128 and W <= 64)
+    use_rk = (gather_ops._use_pallas()
+              and gather_ops._kernel_enabled("refine")
+              and cfg.rgbm_scale == 0.0 and T <= 128 and W <= 64)
     ys_rounds = []
     if use_rk and profile < 2:
         # Whole-trial fused kernel: all R rounds of LS refit + LDR color
@@ -645,9 +682,7 @@ def trial1_records(st, et: EncoderTables, cfg, profile: int,
     rec_useq = state_rec(useq_r[0], useq_r)
     rec_match = state_rec(match_r[0], match_r)
     rec_w = state_rec(wpre_r[0], wpost_r)
-    rec_mode = jnp.repeat(
-        jnp.einsum("ncm,m->nc", ohc, mode_index_j.astype(jnp.float32)
-                   ).astype(jnp.int32), K, axis=1)       # (N, C*K)
+    rec_mode = jnp.repeat(cand_mode_idx, K, axis=1)      # (N, C*K)
 
     wg64 = jnp.zeros((N, rec_w.shape[1], 64), jnp.int32
                      ).at[:, :, :W].set(rec_w)
@@ -873,54 +908,13 @@ def trial2_records(st, et: EncoderTables, cfg, profile: int,
     low2, high2 = ang.angular_endpoints_for_quant_levels(
         di2, jnp.asarray(wvalid_np), max_precision)
 
-    # --- Per-mode quantized weights + error ------------------------------------
+    # --- Merged endpoints + format tables --------------------------------------
     quant_m = et.m2_quant
     dm_m = et.m2_dm
     M2 = quant_m.shape[0]
     assert M2 > 0, "caller must guard the no-2plane-modes case"
     bitcount_np = 109 - et.m2_weight_bits
 
-    ang_ok = quant_m <= ang.TUNE_MAX_ANGULAR_QUANT
-    ql_idx = np.where(ang_ok, quant_m, 0)
-    D2 = et.dec_int.shape[0]
-    oh_dq = np.zeros((M2, D2 * 8), np.float32)
-    oh_dq[np.arange(M2), dm_m * 8 + ql_idx] = 1.0
-    oh_dq_j = jnp.asarray(oh_dq)
-    oh_md = np.zeros((M2, D2), np.float32)
-    oh_md[np.arange(M2), dm_m] = 1.0
-    oh_md_j = jnp.asarray(oh_md)
-
-    def mode_range(low_v, high_v, cutoff):
-        lo = jnp.where(jnp.asarray(ang_ok),
-                       jnp.einsum("md,nd->nm", oh_dq_j,
-                                  low_v.reshape(N, D2 * 8)), 0.0)
-        hi = jnp.where(jnp.asarray(ang_ok),
-                       jnp.einsum("md,nd->nm", oh_dq_j,
-                                  high_v.reshape(N, D2 * 8)), 1.0)
-        hi = jnp.where(hi > 1.02 * cutoff[:, None], 1.0, hi)
-        return lo, hi
-
-    lo1m, hi1m = mode_range(low1, high1, min_wt_cutoff1)
-    lo2m, hi2m = mode_range(low2, high2, min_wt_cutoff2)
-
-    di1_m = jnp.einsum("md,ndw->nmw", oh_md_j, di1)
-    di2_m = jnp.einsum("md,ndw->nmw", oh_md_j, di2)
-    uqf1, uq1 = ideal_ops.quantize_weights_for_modes(
-        di1_m, lo1m, hi1m, jnp.asarray(et.weight_quant_unquant),
-        jnp.asarray(_QUANT_LEVELS_M1), jnp.asarray(quant_m))
-    uqf2, uq2 = ideal_ops.quantize_weights_for_modes(
-        di2_m, lo2m, hi2m, jnp.asarray(et.weight_quant_unquant),
-        jnp.asarray(_QUANT_LEVELS_M1), jnp.asarray(quant_m))
-
-    decf32_by_mode = jnp.asarray(et.dec_f32[dm_m])
-    qwt_err = (ideal_ops.weight_set_error(
-        uqf1, ei1["weights"], ei1["weight_error_scale"], decf32_by_mode)
-        + ideal_ops.weight_set_error(
-            uqf2, ei2["weights"], ei2["weight_error_scale"], decf32_by_mode))
-    mode_ok = jnp.asarray(quant_m)[None, :] <= max_wq[:, None]
-    qwt_err = jnp.where(mode_ok, qwt_err, jnp.float32(1e38))
-
-    # --- Merged endpoints + formats --------------------------------------------
     sep = err_lane[:, None, :]  # (N, 1, 4)
     ep0m = jnp.where(sep, ei2["ep0"], ei1["ep0"])
     ep1m = jnp.where(sep, ei2["ep1"], ei1["ep1"])
@@ -933,30 +927,15 @@ def trial2_records(st, et: EncoderTables, cfg, profile: int,
                                              encode_hdr_alpha=(profile == 3))
     else:
         be, fm = fmts.color_error_tables_ldr(eci, ep0m, ep1m, counts1, cw)
-    bb = fmts.best_for_bitcount(be[:, 0], fm[:, 0], et.quant_mode_table,
-                                bitcount_np, 1, 0)
-    total_err = jnp.where(qwt_err >= 1e37, jnp.float32(ERROR_CALC_DEFAULT),
-                          bb["error"] + qwt_err)
-    cand_modes, cand_valid = fmts.select_candidates(
-        total_err, cfg.tune_candidate_limit)
 
-    # --- Candidate refinement: candidates folded into the batch axis ---------
-    # Same post-hoc sequential-selection scheme as the 1-plane trial.
     C = cfg.tune_candidate_limit
     R = cfg.tune_refinement_limit
     NC = N * C
-
-    pn = jnp.asarray(et.weight_prev_next)
-    mode_index_j = jnp.asarray(et.m2_mode_index)
-    quant_m_j = jnp.asarray(quant_m)
-    dm_m_j = jnp.asarray(dm_m)
-    wvalid_j = jnp.asarray(wvalid_np)
-    color_j = jnp.asarray(et.dm_color)
     W = et.dec_int.shape[2]
 
-    cand_c = jnp.clip(cand_modes, 0, M2 - 1)
-    mode_f = cand_c.reshape(NC)
-    valid_f = (cand_valid & ext_valid[:, None]).reshape(NC)
+    pn = jnp.asarray(et.weight_prev_next)
+    wvalid_j = jnp.asarray(wvalid_np)
+    color_j = jnp.asarray(et.dm_color)
 
     def rep(x):
         return jnp.repeat(x, C, axis=0)
@@ -967,21 +946,115 @@ def trial2_records(st, et: EncoderTables, cfg, profile: int,
     mean_f = rep(st["data_mean"])
     p2lanes_f = rep(err_lane)
 
-    ohc = lut_ops.onehot(cand_c, M2)                     # (N, C, M2)
-    dm_f = jnp.einsum("ncm,m->nc", ohc, dm_m_j.astype(jnp.float32)
-                      ).astype(jnp.int32).reshape(NC)
-    wq_f = jnp.einsum("ncm,m->nc", ohc, quant_m_j.astype(jnp.float32)
-                      ).astype(jnp.int32).reshape(NC)
-    fmt_req_f = jnp.einsum("ncm,nm->nc", ohc,
-                           bb["formats"][:, :, 0].astype(jnp.float32)
-                           ).astype(jnp.int32).reshape(NC)
-    cq_raw = jnp.einsum("ncm,nm->nc", ohc,
-                        bb["quant"].astype(jnp.float32)).astype(jnp.int32)
-    cq_f = jnp.clip(cq_raw, 4, 20).reshape(NC)
-    wg1_0 = jnp.einsum("ncm,nmw->ncw", ohc, uq1.astype(jnp.float32)
-                       ).astype(jnp.int32).reshape(NC, W)
-    wg2_0 = jnp.einsum("ncm,nmw->ncw", ohc, uq2.astype(jnp.float32)
-                       ).astype(jnp.int32).reshape(NC, W)
+    use_ms = (gather_ops._use_pallas()
+              and gather_ops._kernel_enabled("msearch")
+              and T <= 128 and W <= 64)
+    if use_ms:
+        # --- Fused Pallas mode search, both planes in one kernel ----------
+        # (see ops/msearch_pallas.py; the two=True layout carries plane-2
+        # ideal grids/ranges in the upper input rows).
+        mmeta = msearch_ops.make_mode_meta(
+            quant_m, dm_m, et.m2_weight_bits, et.m2_mode_index, 109,
+            et.weight_quant_unquant, et.quant_mode_table, 0, 1,
+            ang.TUNE_MAX_ANGULAR_QUANT)
+        ms_tabs = msearch_ops.MsTables(et.dec_f32)
+        ms = msearch_ops.mode_search(
+            ms_tabs, di1, low1, high1, ei1["weights"],
+            ei1["weight_error_scale"], min_wt_cutoff1, max_wq,
+            be[:, 0], fm[:, 0][..., None], mmeta, C, 1,
+            dec_ideal2=di2, low_v2=low2, high_v2=high2,
+            wei2=ei2["weights"], wes2=ei2["weight_error_scale"],
+            mcut2=min_wt_cutoff2)
+        cand_mode_idx = ms["mode"]                       # (N, C) raw 11-bit
+        cand_valid = ms["valid"]
+        valid_f = (cand_valid & ext_valid[:, None]).reshape(NC)
+        dm_f = ms["dm"].reshape(NC)
+        wq_f = ms["wq"].reshape(NC)
+        fmt_req_f = ms["fmt"][:, :, 0].reshape(NC)
+        cq_c = ms["cq"]                                  # clipped 4..20
+        cq_f = cq_c.reshape(NC)
+        wg1_0 = ms["uq"].reshape(NC, W)
+        wg2_0 = ms["uq2"].reshape(NC, W)
+    else:
+        # --- Per-mode quantized weights + error (XLA) ---------------------
+        ang_ok = quant_m <= ang.TUNE_MAX_ANGULAR_QUANT
+        ql_idx = np.where(ang_ok, quant_m, 0)
+        D2 = et.dec_int.shape[0]
+        oh_dq = np.zeros((M2, D2 * 8), np.float32)
+        oh_dq[np.arange(M2), dm_m * 8 + ql_idx] = 1.0
+        oh_dq_j = jnp.asarray(oh_dq)
+        oh_md = np.zeros((M2, D2), np.float32)
+        oh_md[np.arange(M2), dm_m] = 1.0
+        oh_md_j = jnp.asarray(oh_md)
+
+        def mode_range(low_v, high_v, cutoff):
+            lo = jnp.where(jnp.asarray(ang_ok),
+                           jnp.einsum("md,nd->nm", oh_dq_j,
+                                      low_v.reshape(N, D2 * 8)), 0.0)
+            hi = jnp.where(jnp.asarray(ang_ok),
+                           jnp.einsum("md,nd->nm", oh_dq_j,
+                                      high_v.reshape(N, D2 * 8)), 1.0)
+            hi = jnp.where(hi > 1.02 * cutoff[:, None], 1.0, hi)
+            return lo, hi
+
+        lo1m, hi1m = mode_range(low1, high1, min_wt_cutoff1)
+        lo2m, hi2m = mode_range(low2, high2, min_wt_cutoff2)
+
+        di1_m = jnp.einsum("md,ndw->nmw", oh_md_j, di1)
+        di2_m = jnp.einsum("md,ndw->nmw", oh_md_j, di2)
+        uqf1, uq1 = ideal_ops.quantize_weights_for_modes(
+            di1_m, lo1m, hi1m, jnp.asarray(et.weight_quant_unquant),
+            jnp.asarray(_QUANT_LEVELS_M1), jnp.asarray(quant_m))
+        uqf2, uq2 = ideal_ops.quantize_weights_for_modes(
+            di2_m, lo2m, hi2m, jnp.asarray(et.weight_quant_unquant),
+            jnp.asarray(_QUANT_LEVELS_M1), jnp.asarray(quant_m))
+
+        decf32_by_mode = jnp.asarray(et.dec_f32[dm_m])
+        qwt_err = (ideal_ops.weight_set_error(
+            uqf1, ei1["weights"], ei1["weight_error_scale"], decf32_by_mode)
+            + ideal_ops.weight_set_error(
+                uqf2, ei2["weights"], ei2["weight_error_scale"],
+                decf32_by_mode))
+        mode_ok = jnp.asarray(quant_m)[None, :] <= max_wq[:, None]
+        qwt_err = jnp.where(mode_ok, qwt_err, jnp.float32(1e38))
+
+        bb = fmts.best_for_bitcount(be[:, 0], fm[:, 0], et.quant_mode_table,
+                                    bitcount_np, 1, 0)
+        total_err = jnp.where(qwt_err >= 1e37,
+                              jnp.float32(ERROR_CALC_DEFAULT),
+                              bb["error"] + qwt_err)
+        cand_modes, cand_valid = fmts.select_candidates(
+            total_err, cfg.tune_candidate_limit)
+
+        # Candidate payload selections (one-hot contractions; see the
+        # 1-plane variant for rationale).
+        mode_index_j = jnp.asarray(et.m2_mode_index)
+        quant_m_j = jnp.asarray(quant_m)
+        dm_m_j = jnp.asarray(dm_m)
+
+        cand_c = jnp.clip(cand_modes, 0, M2 - 1)
+        valid_f = (cand_valid & ext_valid[:, None]).reshape(NC)
+
+        ohc = lut_ops.onehot(cand_c, M2)                 # (N, C, M2)
+        cand_mode_idx = jnp.einsum(
+            "ncm,m->nc", ohc, mode_index_j.astype(jnp.float32)
+            ).astype(jnp.int32)                          # (N, C)
+        dm_f = jnp.einsum("ncm,m->nc", ohc, dm_m_j.astype(jnp.float32)
+                          ).astype(jnp.int32).reshape(NC)
+        wq_f = jnp.einsum("ncm,m->nc", ohc, quant_m_j.astype(jnp.float32)
+                          ).astype(jnp.int32).reshape(NC)
+        fmt_req_f = jnp.einsum("ncm,nm->nc", ohc,
+                               bb["formats"][:, :, 0].astype(jnp.float32)
+                               ).astype(jnp.int32).reshape(NC)
+        cq_raw = jnp.einsum("ncm,nm->nc", ohc,
+                            bb["quant"].astype(jnp.float32)
+                            ).astype(jnp.int32)
+        cq_c = jnp.clip(cq_raw, 4, 20)
+        cq_f = cq_c.reshape(NC)
+        wg1_0 = jnp.einsum("ncm,nmw->ncw", ohc, uq1.astype(jnp.float32)
+                           ).astype(jnp.int32).reshape(NC, W)
+        wg2_0 = jnp.einsum("ncm,nmw->ncw", ohc, uq2.astype(jnp.float32)
+                           ).astype(jnp.int32).reshape(NC, W)
     def fit_and_pack2(u1, u2, ep0_c, ep1_c):
         rc = recompute_ops.recompute_ideal_colors_2planes(
             tex_f, u1, u2, p2c_f, cw, mean_f, ep0_c, ep1_c,
@@ -995,8 +1068,9 @@ def trial2_records(st, et: EncoderTables, cfg, profile: int,
         return ep0_c, ep1_c, fmt_p, vals_p, fmt4, vals4, ep0i, ep1i
 
     T2 = texels.shape[1]
-    use_rk = (gather_ops._use_pallas() and cfg.rgbm_scale == 0.0
-              and T2 <= 128 and W <= 63)
+    use_rk = (gather_ops._use_pallas()
+              and gather_ops._kernel_enabled("refine")
+              and cfg.rgbm_scale == 0.0 and T2 <= 128 and W <= 63)
     ys_rounds = []
     if use_rk and profile < 2:
         # Whole-trial fused kernel (see _trial2_full_kernel).
@@ -1133,10 +1207,8 @@ def trial2_records(st, et: EncoderTables, cfg, profile: int,
     rec_vals = state_rec(vals4_r[0], vals4_r)
     rec_w1 = state_rec(w1pre_r[0], w1post_r)
     rec_w2 = state_rec(w2pre_r[0], w2post_r)
-    rec_mode = jnp.repeat(
-        jnp.einsum("ncm,m->nc", ohc, mode_index_j.astype(jnp.float32)
-                   ).astype(jnp.int32), K, axis=1)
-    rec_q = jnp.repeat(jnp.clip(cq_raw, 4, 20), K, axis=1)
+    rec_mode = jnp.repeat(cand_mode_idx, K, axis=1)
+    rec_q = jnp.repeat(cq_c, K, axis=1)
 
     CK2 = rec_err.shape[1]
     w1_64 = jnp.zeros((N, CK2, 64), jnp.int32).at[:, :, :W].set(rec_w1)

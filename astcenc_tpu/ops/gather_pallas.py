@@ -39,7 +39,25 @@ from . import lut as lut_ops
 _LANES = 128
 
 
+def _interpret() -> bool:
+    """Pallas interpreter mode: lets the kernels run (slowly) on CPU for
+    bit-level validation against the XLA formulations (tests/test_pallas)."""
+    import os
+    return os.environ.get("ASTC_PALLAS_INTERPRET", "") not in ("", "0")
+
+
+def _kernel_enabled(name: str) -> bool:
+    """Per-kernel-family opt-out, read at trace time: set
+    ASTC_DISABLE_KERNELS="msearch,refine" to fall back to the XLA
+    formulation for those families (debug/bisection aid)."""
+    import os
+    dis = os.environ.get("ASTC_DISABLE_KERNELS", "")
+    return name not in {s.strip() for s in dis.split(",") if s.strip()}
+
+
 def _use_pallas() -> bool:
+    if _interpret():
+        return True
     try:
         return jax.default_backend() != "cpu"
     except Exception:  # pragma: no cover - backend probing never fatal
@@ -86,6 +104,7 @@ def _row_lookup_2d(rows, idx, Vp: int, Kp: int, BT: int):
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((B, Kp), jnp.int32),
+        interpret=_interpret(),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((BT, Vp), lambda i: (i, 0),
@@ -144,6 +163,7 @@ def _master_lookup_tpu(vals, mlo, mhi, BT: int, qcol: int):
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((B, K), jnp.int32),
+        interpret=_interpret(),
         grid=(B // BT,),
         in_specs=[
             pl.BlockSpec((BT, K), lambda i: (i, 0),

@@ -30,6 +30,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .gather_pallas import _interpret
+
 
 def _psearch_kernel(pot_ref, tex_ref, ua_ref, out_u_ref, out_s_ref, *,
                     T: int, P: int, wie: float, cw: tuple):
@@ -155,6 +157,7 @@ def _psearch_call(potT, texT, ua, T: int, P: int, wie: float, cw: tuple,
         kern,
         out_shape=(jax.ShapeDtypeStruct((S, 1, N), jnp.float32),
                    jax.ShapeDtypeStruct((S, 1, N), jnp.float32)),
+        interpret=_interpret(),
         grid=(S, N // BT),
         in_specs=[
             pl.BlockSpec((1, T, BT), lambda s, i: (s, 0, i),

@@ -45,6 +45,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .gather_pallas import _interpret
+
 from ..tables import ise
 
 _BIG = 1e30                        # ERROR_CALC_DEFAULT
@@ -456,6 +458,7 @@ def _trial1_full_call(metaT, fmetaT, texT, si, sf, dmc, pn, lo, hi,
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((8, BT), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)),
+        interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=32 * 1024 * 1024),
     )(metaT, fmetaT, texT, si, sf, dmc, pn, lo, hi)
@@ -816,6 +819,7 @@ def _trial2_full_call(metaT, fmetaT, texT, si, sf, dmc, pn, lo, hi,
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((8, BT), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)),
+        interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=32 * 1024 * 1024),
     )(metaT, fmetaT, texT, si, sf, dmc, pn, lo, hi)

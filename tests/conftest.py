@@ -11,10 +11,13 @@ import subprocess
 import sys
 
 if not os.environ.get("ASTC_TPU_TEST_REAL"):
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # FORCE, not setdefault: driver shells export JAX_PLATFORMS (e.g.
+    # "axon" tunnels) and a silent TPU fallback makes the suite
+    # nondeterministic (TPU f32 matmuls round to bf16 by default).
+    os.environ["JAX_PLATFORMS"] = "cpu"
     # Some PJRT plugin builds override jax_platforms at registration time;
     # JAX_PLATFORM_NAME still wins, so set both to really stay on CPU.
-    os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+    os.environ["JAX_PLATFORM_NAME"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:
         flags = (flags + " --xla_force_host_platform_device_count=8").strip()
@@ -26,6 +29,13 @@ if not os.environ.get("ASTC_TPU_TEST_REAL"):
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
+
+if not os.environ.get("ASTC_TPU_TEST_REAL"):
+    # Belt and braces: auto-loaded pytest plugins (jaxtyping) import jax
+    # BEFORE this conftest runs, so jax snapshotted the driver shell's
+    # JAX_PLATFORMS (e.g. "axon") at import — the env vars above are then
+    # too late. Updating the config works until a backend is initialized.
+    jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

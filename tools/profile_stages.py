@@ -21,12 +21,19 @@ jax.config.update("jax_compilation_cache_dir",
 
 
 def timeit(fn, *args, reps=5):
-    np.asarray(jax.tree.leaves(fn(*args))[0])  # warm
+    # Reduce outputs to one scalar on-device so the timed loop fetches a
+    # few bytes (host-fetch of large outputs dominates on the tunneled
+    # backend and was previously mis-attributed to compute).
+    @jax.jit
+    def red(*a):
+        out = jax.tree.leaves(fn(*a))
+        return sum(jnp.sum(o.astype(jnp.float32)) for o in out)
+
+    np.asarray(red(*args))  # warm
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = fn(*args)
-    jax.tree.map(lambda x: x.block_until_ready(), out)
-    np.asarray(jax.tree.leaves(out)[0])
+        s = red(*args)
+    np.asarray(s)
     return (time.perf_counter() - t0) / reps
 
 
@@ -179,3 +186,55 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def profile_refine():
+    """Time the fused refine kernel standalone at trial1 NC size."""
+    from astcenc_tpu import api
+    from astcenc_tpu.config import Profile, Quality
+    from astcenc_tpu.codec import compress as compress_mod
+    from astcenc_tpu.codec import trial
+    from astcenc_tpu.ops import refine_pallas as refine_ops
+
+    N = int(os.environ.get("ASTC_PROF_N", "8192"))
+    C = 3
+    R = 3
+    NC = N * C
+    cfg = api.config_init(Profile.LDR, 6, 6, 1, Quality.MEDIUM, 0)
+    ctx = api.context_alloc(cfg)
+    et = trial.build_encoder_tables(ctx.bsd)
+    T = ctx.bsd.texel_count
+    W = et.dec_int.shape[2]
+    D = et.dec_int.shape[0]
+    wvalid_np = np.arange(W)[None, :] < et.dec_wcount[:, None]
+    rtabs = refine_ops.RefineTables(et.dec_int, et.dec_f32, et.dm_color,
+                                    wvalid_np, et.weight_prev_next)
+    rng = np.random.RandomState(0)
+    tex = jnp.asarray(np.floor(
+        rng.rand(NC, T, 4).astype(np.float32) * 255.0) * 257.0)
+    texk = refine_ops.pack_tex(tex)
+    wgrid0 = jnp.asarray(rng.randint(0, 65, (NC, W), np.int32))
+    dm_f = jnp.asarray(rng.randint(0, D, (NC,), np.int32))
+    wq_f = jnp.asarray(rng.randint(0, 12, (NC,), np.int32))
+    valid_f = jnp.ones((NC,), bool)
+    cq_f = jnp.asarray(rng.randint(4, 21, (NC,), np.int32))
+    cqm_f = jnp.asarray(rng.randint(4, 21, (NC,), np.int32))
+    fmt_req_f = jnp.asarray(rng.randint(0, 16, (NC, 1), np.int32))
+    pot_f = jnp.zeros((NC, T), jnp.int32)
+    meta = refine_ops.pack_meta_full(wgrid0, dm_f, wq_f, valid_f,
+                                     cq_f, cqm_f, fmt_req_f, pot_f, T)
+    ep = np.abs(rng.rand(NC, 4, 4).astype(np.float32)) * 65535.0
+    fmeta = jnp.concatenate([jnp.asarray(ep.reshape(NC, 16)),
+                             jnp.asarray(ep.reshape(NC, 16))], axis=1)
+
+    @jax.jit
+    def run(meta_, fmeta_, texk_):
+        return refine_ops.trial1_refine_full(
+            rtabs, meta_, fmeta_, texk_, et.ncolors, False,
+            (1.0, 1.0, 1.0, 1.0), R, 1, 1)
+    dt = timeit(run, meta, fmeta, texk)
+    print(f"refine_full pc=1 NC={NC}: {dt*1000:8.1f} ms")
+
+
+if os.environ.get("ASTC_PROF_REFINE"):
+    profile_refine()
