@@ -149,49 +149,53 @@ def _rgb_sum(v):
     return v[..., 0] + v[..., 1] + v[..., 2]
 
 
-_NUDGE_STEPS = 32
 
 
 def _quantize_rgb(c0, c1, qidx):
-    """quantize_rgb fallback (reference: :169-192), nudges parallelized.
+    """quantize_rgb fallback (reference: :169-192), exact masked loop.
 
-    The reference's do-while nudges c0 down / c1 up by 0.2 until the
-    quantized sums order correctly. Run as a data-dependent loop, a single
-    pathological lane would stall the whole batch, so we evaluate all nudge
-    steps in parallel and pick each lane's first valid step (identical
-    result for any lane converging within _NUDGE_STEPS). Lanes needing more
-    nudging collapse to the quantized midpoint both loops converge towards.
+    The reference's do-while nudges c0 down / c1 up by 0.2 (ACCUMULATED
+    f32 subtraction, not k*0.2) until the quantized rgb sums order
+    correctly. Finished lanes freeze; the while_loop runs until the worst
+    lane converges (bounded: at 0.2/step the endpoints meet within ~1300
+    steps and equal endpoints always order). Typical encoder inputs are
+    already ordered, so the loop body runs once for whole batches.
     """
-    k = jnp.arange(_NUDGE_STEPS, dtype=jnp.float32)
-    c0k = c0[:, None, :] - 0.2 * k[None, :, None]       # (B, K, 4)
-    c1k = c1[:, None, :] + 0.2 * k[None, :, None]
+    qk = qidx[..., None]
 
-    qk = qidx[:, None, None]
-    c0q = jnp.maximum(_rtn(c0k), 0)
-    c0i = quant_color_res(qk, c0q, c0k)
-    c1q = jnp.minimum(_rtn(c1k), 255)
-    c1i = quant_color_res(qk, c1q, c1k)
+    def eval_quant(c0v, c1v):
+        c0i = quant_color_res(qk, jnp.maximum(_rtn(c0v), 0), c0v)
+        c1i = quant_color_res(qk, jnp.minimum(_rtn(c1v), 255), c1v)
+        return c0i, c1i
 
-    ok = _rgb_sum(c0i) <= _rgb_sum(c1i)                 # (B, K)
-    any_ok = jnp.any(ok, axis=1)
+    c0i0, c1i0 = eval_quant(c0, c1)
+    done0 = _rgb_sum(c0i0) <= _rgb_sum(c1i0)
 
-    # First-ok selection without take_along_axis (gathers scalarize on TPU):
-    # mask out every step after the first valid one, then sum.
-    first_mask = ok & ~jnp.concatenate(
-        [jnp.zeros_like(ok[:, :1]),
-         jax.lax.associative_scan(jnp.logical_or, ok, axis=1)[:, :-1]],
-        axis=1)                                          # (B, K) one-hot
-    fm = first_mask[..., None]
-    c0_sel = jnp.sum(jnp.where(fm, c0i, 0), axis=1)
-    c1_sel = jnp.sum(jnp.where(fm, c1i, 0), axis=1)
+    def cond(carry):
+        done = carry[0]
+        return ~jnp.all(done)
 
-    # Fallback: equal endpoints at the quantized midpoint (always ordered)
-    avg = (c0 + c1) * 0.5
-    avg_i = quant_color_res(qidx[..., None],
-                            jnp.clip(_rtn(avg), 0, 255), avg)
-    c0_out = jnp.where(any_ok[:, None], c0_sel, avg_i)
-    c1_out = jnp.where(any_ok[:, None], c1_sel, avg_i)
-    return c0_out, c1_out
+    def body(carry):
+        done, c0v, c1v, o0, o1, it = carry
+        c0n = jnp.where(done[:, None], c0v, c0v - jnp.float32(0.2))
+        c1n = jnp.where(done[:, None], c1v, c1v + jnp.float32(0.2))
+        c0i, c1i = eval_quant(c0n, c1n)
+        ok = _rgb_sum(c0i) <= _rgb_sum(c1i)
+        newly = ok & ~done
+        o0 = jnp.where(newly[:, None], c0i, o0)
+        o1 = jnp.where(newly[:, None], c1i, o1)
+        # Safety valve mirroring the loop's guaranteed convergence: after
+        # the endpoints have crossed far past each other every quantized
+        # sum orders; cap keeps the compiled loop finite on NaN inputs.
+        force = it >= 2048
+        return (done | ok | force, c0n, c1n,
+                jnp.where((force & ~done & ~ok)[:, None], c1i, o0),
+                jnp.where((force & ~done & ~ok)[:, None], c1i, o1),
+                it + 1)
+
+    init = (done0, c0, c1, c0i0, c1i0, jnp.int32(0))
+    out = jax.lax.while_loop(cond, body, init)
+    return out[3], out[4]
 
 
 def _try_rgb_delta(c0, c1, qidx):
@@ -443,8 +447,8 @@ def pack_rgbs(rgbs, qidx):
 
 def pack_luminance(c0, c1, qidx):
     """FMT_LUMINANCE (reference: quantize_luminance :795-820)."""
-    lum0 = _rgb_sum(c0) / 3.0
-    lum1 = _rgb_sum(c1) / 3.0
+    lum0 = _rgb_sum(c0) * jnp.float32(1.0 / 3.0)
+    lum1 = _rgb_sum(c1) * jnp.float32(1.0 / 3.0)
     swap = lum0 > lum1
     avg = (lum0 + lum1) * 0.5
     lum0 = jnp.where(swap, avg, lum0)
@@ -456,8 +460,8 @@ def pack_luminance(c0, c1, qidx):
 
 def _try_lum_alpha_delta(c0, c1, qidx):
     """try_quantize_luminance_alpha_delta (reference: :573-666)."""
-    l0 = _rgb_sum(c0) / 3.0
-    l1 = _rgb_sum(c1) / 3.0
+    l0 = _rgb_sum(c0) * jnp.float32(1.0 / 3.0)
+    l1 = _rgb_sum(c1) * jnp.float32(1.0 / 3.0)
     a0 = c0[..., 3]
     a1 = c1[..., 3]
 
@@ -489,8 +493,8 @@ def pack_luminance_alpha(c0, c1, qidx):
     ok, dvals = _try_lum_alpha_delta(c0, c1, qidx)
     ok &= qidx <= (18 - ise.QUANT_6)  # quant_level <= 18 (QUANT_192)
 
-    lum0 = _rgb_sum(c0) / 3.0
-    lum1 = _rgb_sum(c1) / 3.0
+    lum0 = _rgb_sum(c0) * jnp.float32(1.0 / 3.0)
+    lum1 = _rgb_sum(c1) * jnp.float32(1.0 / 3.0)
     a0 = c0[..., 3]
     a1 = c1[..., 3]
     vals = jnp.stack([
@@ -680,8 +684,8 @@ def pack_color_endpoints_ldr(ep0, ep1, rgbs, req_fmt, quant_level):
     rtn_rgbv = _rtn(rgbv)
     req("rgbs_rgb", rtn_rgbv)
     # luminance (averaged on swap)
-    lum0 = _rgb_sum(c0) / 3.0
-    lum1 = _rgb_sum(c1) / 3.0
+    lum0 = _rgb_sum(c0) * jnp.float32(1.0 / 3.0)
+    lum1 = _rgb_sum(c1) * jnp.float32(1.0 / 3.0)
     lswap = lum0 > lum1
     lavg = (lum0 + lum1) * 0.5
     lum0s = jnp.where(lswap, lavg, lum0)
@@ -791,41 +795,10 @@ def pack_color_endpoints_ldr(ep0, ep1, rgbs, req_fmt, quant_level):
     c1i_bc = pick("bc_c1", rtn_b1, b1)
     ok_bc = ok_bc & (_rgb_sum(c1i_bc) > _rgb_sum(c0i_bc))
     e0_bc, e1_bc = c1i_bc, c0i_bc
-    # quantize_rgb nudge
-    kk = jnp.arange(_NUDGE_STEPS, dtype=f32)
-    c0k = c0[:, None, :] - 0.2 * kk[None, :, None]         # (B, K, 4)
-    c1k = c1[:, None, :] + 0.2 * kk[None, :, None]
-    c0q = jnp.maximum(_rtn(c0k), 0)
-    c1q = jnp.minimum(_rtn(c1k), 255)
-    n0lo = res1["n0"][0].reshape(B, 4, 8)
-    n0hi = res1["n0"][1].reshape(B, 4, 8)
-    n1lo = res1["n1"][0].reshape(B, 4, 8)
-    n1hi = res1["n1"][1].reshape(B, 4, 8)
-
-    def sel8(tab, j):
-        acc = jnp.zeros(j.shape, tab.dtype)
-        for m in range(8):
-            acc = jnp.where(j == m, tab[:, None, :, m], acc)
-        return acc
-
-    j0 = rtn_c0[:, None, :] - c0q                          # (B, K, 4) in 0..7
-    j1 = c1q - rtn_c1[:, None, :]
-    c0i_n = jnp.where((c0k - c0q.astype(f32)) >= -0.1,
-                      sel8(n0hi, j0), sel8(n0lo, j0))
-    c1i_n = jnp.where((c1k - c1q.astype(f32)) >= -0.1,
-                      sel8(n1hi, j1), sel8(n1lo, j1))
-    ok_n = _rgb_sum(c0i_n) <= _rgb_sum(c1i_n)              # (B, K)
-    any_n = jnp.any(ok_n, axis=1)
-    first_mask = ok_n & ~jnp.concatenate(
-        [jnp.zeros_like(ok_n[:, :1]),
-         jax.lax.associative_scan(jnp.logical_or, ok_n, axis=1)[:, :-1]],
-        axis=1)
-    fmv = first_mask[..., None]
-    c0_sel = jnp.sum(jnp.where(fmv, c0i_n, 0), axis=1)
-    c1_sel = jnp.sum(jnp.where(fmv, c1i_n, 0), axis=1)
-    avg_i = pick("n_avg", avg_v, avgf)
-    e0q = jnp.where(any_n[:, None], c0_sel, avg_i)
-    e1q = jnp.where(any_n[:, None], c1_sel, avg_i)
+    # quantize_rgb nudge: exact masked while-loop (reference do-while with
+    # accumulated 0.2 nudges, astcenc_color_quantize.cpp:169-192); typical
+    # encoder inputs are already ordered so the body runs ~once.
+    e0q, e1q = _quantize_rgb(c0, c1, qq)
     # plain alpha / rgb-scale / luminance components
     a0q = pick("res_a0", rtn_a0, a0f)
     a1q = pick("res_a1", rtn_a1, a1f)

@@ -21,6 +21,13 @@ def _rtn(x):
     return jnp.floor(x + 0.5).astype(jnp.int32)
 
 
+def _rtn_trunc(x):
+    """astc::flt2int_rtn for possibly-negative values: C's (int)(v+0.5f)
+    truncates toward zero (reference: astcenc_mathlib.h:328-332) — floor
+    and trunc differ below zero, and the HDR RGB d deltas go negative."""
+    return jnp.trunc(x + 0.5).astype(jnp.int32)
+
+
 def _retain_top_bits(qidx, value, top_mask: int, max_steps: int = 72):
     """quantize_and_unquantize_retain_top_{two,four}_bits, parallelized.
 
@@ -123,7 +130,8 @@ def quantize_hdr_rgbo(color, qidx):
         b_f = b_int.astype(jnp.float32) * mode_rscale
 
         rgb_errsum = (r_f - cr) + (r_f - g_f - cg) + (r_f - b_f - cb)
-        s_f = jnp.clip(s_base + rgb_errsum / 3.0, 0.0, 1e9)
+        s_f = jnp.clip(s_base + rgb_errsum * jnp.float32(1.0 / 3.0),
+                       0.0, 1e9)
         s_int = _rtn(s_f * mode_scale)
         ok = ok & (s_int < s_intcut)
 
@@ -144,13 +152,16 @@ def quantize_hdr_rgbo(color, qidx):
         out = jnp.where(take[:, None], vals, out)
         done = done | ok
 
-    # Fallback mode #5
-    v = jnp.clip(color_bak, 0.0, 65020.0)
-    iv = _rtn(v[:, :3] / 512.0)
+    # Fallback mode #5 (reference: :1210-1253 — rgb clamps first; the
+    # alpha base is the raw value, clamped only after the error add)
+    v = jnp.clip(color_bak[:, :3], 0.0, 65020.0)
+    iv = _rtn(v * jnp.float32(1.0 / 512.0))
     cv = iv.astype(jnp.float32) * 512.0
-    errsum = jnp.sum(cv - v[:, :3], axis=-1)
-    s3 = jnp.clip(v[:, 3] + errsum / 3.0, 0.0, 65020.0)
-    i3 = _rtn(s3 / 512.0)
+    errsum = ((cv[:, 0] - v[:, 0]) + (cv[:, 1] - v[:, 1])
+              + (cv[:, 2] - v[:, 2]))
+    s3 = jnp.clip(color_bak[:, 3] + errsum * jnp.float32(1.0 / 3.0),
+                  0.0, 65020.0)
+    i3 = _rtn(s3 * jnp.float32(1.0 / 512.0))
     enc0 = (iv[:, 0] & 0x3F) | 0xC0
     enc1 = (iv[:, 1] & 0x7F) | 0x80
     enc2 = (iv[:, 2] & 0x7F) | 0x80
@@ -252,8 +263,8 @@ def quantize_hdr_rgb(c0, c1, qidx):
 
         d0_f = jnp.clip(a_f - b0_f - c_f - c0g, -65535.0, 65535.0)
         d1_f = jnp.clip(a_f - b1_f - c_f - c0bl, -65535.0, 65535.0)
-        d0_int = _rtn(d0_f * mode_scale)
-        d1_int = _rtn(d1_f * mode_scale)
+        d0_int = _rtn_trunc(d0_f * mode_scale)
+        d1_int = _rtn_trunc(d1_f * mode_scale)
         ok = ok & (jnp.abs(d0_int) < d_intcut) & (jnp.abs(d1_int) < d_intcut)
 
         d0_low = d0_int & 0x1F
