@@ -26,7 +26,15 @@ import jax as _jax
 
 # The batched codec graphs are large; persistent compilation caching is
 # essential for interactive use. Opt out with ASTC_JAX_CACHE=none.
-_cache = _os.environ.get("ASTC_JAX_CACHE", "/tmp/jax_cache")
+# CPU runs skip the on-disk cache BY DEFAULT: jax 0.9.0's XLA:CPU AOT
+# loader segfaults on this host deserializing its own cache entries (see
+# tests/conftest.py). TPU/axon runs keep it, and an explicit
+# ASTC_JAX_CACHE=<dir> opts back in on any backend (the crash risk is
+# then the caller's informed choice — needed for usable CPU iteration).
+_cache = _os.environ.get("ASTC_JAX_CACHE")
+_plat = _os.environ.get("JAX_PLATFORMS", "")
+if _cache is None and "cpu" not in _plat.split(","):
+    _cache = "/tmp/jax_cache"
 if _cache and _cache != "none":
     _jax.config.update("jax_compilation_cache_dir", _cache)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

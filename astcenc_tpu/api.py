@@ -141,16 +141,19 @@ def _apply_store_swizzle(img, swizzle, out_type):
 
 
 def compress_image(ctx: Context, image: np.ndarray, swizzle=(0, 1, 2, 3),
-                   progress_callback=None):
+                   progress_callback=None, tracer=None):
     """Compress an image to (N, 16) blocks. Implemented in codec.compress.
 
     progress_callback, if given, is invoked with a float in [0, 100] after
     each compressed chunk (the batched analog of the reference's throttled
-    progress callbacks, astcenc.h:320-322).
+    progress callbacks, astcenc.h:320-322). tracer, if given, captures the
+    block/pass/candidate diagnostic tree (codec.trace.Tracer; the analog
+    of the reference's ASTCENC_DIAGNOSTICS -dtrace build).
     """
     from .codec import compress as compress_mod
     return compress_mod.compress_image(ctx, image, swizzle,
-                                       progress_callback=progress_callback)
+                                       progress_callback=progress_callback,
+                                       tracer=tracer)
 
 
 def compress_reset(ctx: Context) -> None:

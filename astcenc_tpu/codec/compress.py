@@ -70,7 +70,8 @@ class _CfgStatic:
         return isinstance(other, _CfgStatic) and self._key() == other._key()
 
 
-def make_block_state(texels, channel_weight, profile: int = 1):
+def make_block_state(texels, channel_weight, profile: int = 1,
+                     alpha_weight: bool = False):
     """Build the per-block state dict from (N, T, 4) texels."""
     data_min = jnp.min(texels, axis=1)
     data_max = jnp.max(texels, axis=1)
@@ -84,7 +85,7 @@ def make_block_state(texels, channel_weight, profile: int = 1):
     alpha1 = ((data_min[:, 3] == default_alpha)
               & (data_max[:, 3] == default_alpha))
     uses_alpha = data_min[:, 3] != data_max[:, 3]
-    return {
+    st = {
         "texels": texels,
         "data_min": data_min,
         "data_max": data_max,
@@ -95,19 +96,28 @@ def make_block_state(texels, channel_weight, profile: int = 1):
         "is_luminancealpha": grayscale & ~alpha1,
         "default_alpha": default_alpha,
     }
+    if alpha_weight:
+        # USE_ALPHA_WEIGHT: rgb error weights scale by the block's max
+        # alpha (reference: astcenc_entry.cpp:1016-1035).
+        st["cw_scale"] = data_max[:, 3] * jnp.float32(1.0 / 65535.0)
+    return st
 
 
 def _lowest_correlation(texels, channel_weight):
     """prepare_block_statistics (reference: :1047-1159)."""
-    cw = jnp.array(channel_weight, jnp.float32)
-    weight = jnp.sum(cw) / 4.0
+    cw = jnp.asarray(channel_weight, jnp.float32)
+    per_block = cw.ndim == 2
+    weight = jnp.sum(cw, axis=-1) / 4.0            # scalar or (N,)
     T = texels.shape[1]
     wsum = weight * T
-
-    s = jnp.sum(texels, axis=1) * weight                    # (N, 4)
-    var = jnp.einsum("ntc,ntd->ncd", texels, texels) * weight
+    w1 = weight[:, None] if per_block else weight
+    w2 = weight[:, None, None] if per_block else weight
     rpt = 1.0 / jnp.maximum(wsum, 1e-7)
-    var = var - s[:, :, None] * (s[:, None, :] * rpt)
+    rpt2 = rpt[:, None, None] if per_block else rpt
+
+    s = jnp.sum(texels, axis=1) * w1                        # (N, 4)
+    var = jnp.einsum("ntc,ntd->ncd", texels, texels) * w2
+    var = var - s[:, :, None] * s[:, None, :] * rpt2
 
     d = jnp.sqrt(jnp.clip(
         var[:, jnp.arange(4), jnp.arange(4)], 0.0, None))
@@ -162,12 +172,98 @@ def _pack_jit(dtables_key, scb):
     return physical.symbolic_to_physical_batch(dtables_key.tables, scb)
 
 
-def compress_symbolic_batch(dtables_key, enc_key, cfgs: _CfgStatic, texels):
+# ---------------------------------------------------------------------------
+# Diagnostic trace capture (-dtrace; reference: astcenc_diagnostic_trace.h)
+# ---------------------------------------------------------------------------
+
+def _trace_blocks(tracer, st, error_threshold, is_const, N):
+    """Block-node attributes (reference: compress_block,
+    astcenc_compress_symbolic.cpp:1173-1212)."""
+    dmin = np.asarray(st["data_min"])
+    dmax = np.asarray(st["data_max"])
+    thr = np.broadcast_to(np.asarray(error_threshold), (N,))
+    isc = np.asarray(is_const)
+    positions = tracer.positions
+    base = getattr(tracer, "base", 0)
+    for n in range(min(N, getattr(tracer, "real_n", N))):
+        b = tracer.block(base + n, positions.get(base + n, (0, 0, 0)))
+        for i, c in enumerate("rgba"):
+            b.add(f"min_{c}", float(dmin[n, i]))
+            b.add(f"max_{c}", float(dmax[n, i]))
+        b.add("tune_error_threshold", float(thr[n]))
+        if isc[n]:
+            p = b.child("pass")
+            p.add("partition_count", 0)
+            p.add("plane_count", 1)
+            p.add("exit", "quality hit")
+
+
+def _trace_pass(tracer, bsd, recs, partition_count, plane_count, active,
+                only_always=False, plane_component=None,
+                partition_index=None):
+    """One pass node per active block, with one candidate node per
+    recorded candidate (reference: astcenc_compress_symbolic.cpp:506-676,
+    1295-1429)."""
+    err = np.asarray(recs["err"])
+    mode = np.asarray(recs["mode"])
+    act = np.asarray(active)
+    N, CK = err.shape
+    # mode index -> (wx, wy, wz, quant) via the BSD block-mode tables
+    bm_index = {int(m): i for i, m in enumerate(bsd.bm_mode_index)}
+    wdims = bsd.dm_weight_dims
+    bm_dm = bsd.bm_decimation_mode
+    bm_q = bsd.bm_quant_mode
+    # K = rounds+1 records per candidate (layout [r0-pre, r0-post,
+    # r1-post, ...]); mode is jnp.repeat(cand_modes, K), so K is the run
+    # length of identical mode values.
+    K = 1
+    while K < CK and np.all(mode[:, K - 1] == mode[:, K]):
+        K += 1
+    if CK % K:
+        K = 1
+    C = CK // K
+    base = getattr(tracer, "base", 0)
+    for n in range(min(N, getattr(tracer, "real_n", N))):
+        if not act[n]:
+            continue
+        b = tracer.block(base + n)
+        p = b.child("pass")
+        p.add("partition_count", int(partition_count))
+        p.add("plane_count", int(plane_count))
+        if plane_component is not None:
+            p.add("plane_component", int(plane_component))
+        if partition_index is not None:
+            p.add("partition_index", int(partition_index[n]))
+        if only_always:
+            p.add("search_mode", "only_always")
+        for c in range(C):
+            errs = err[n, c * K:(c + 1) * K]
+            if not np.any(errs < 1e29):
+                continue
+            cn = p.child("candidate")
+            m = int(mode[n, c * K])
+            bi = bm_index.get(m)
+            if bi is not None:
+                wx, wy, wz = wdims[bm_dm[bi]]
+                cn.add("weight_x", int(wx))
+                cn.add("weight_y", int(wy))
+                cn.add("weight_z", int(wz))
+                cn.add("weight_quant", int(bm_q[bi]))
+            cn.add("error_prerealign", float(errs[0]))
+            for e in errs[1:]:
+                cn.add("error_postrealign", float(e))
+
+
+def compress_symbolic_batch(dtables_key, enc_key, cfgs: _CfgStatic, texels,
+                            tracer=None):
     """Compress a batch of blocks to physical form. texels: (N, T, 4).
 
     Orchestrates separately-jitted stages so structurally identical trials
     (e.g. the two pc=2 partition trials, or the four 2-plane component
     passes) share a single compilation.
+
+    tracer: optional codec.trace.Tracer — captures the reference's
+    block/pass/candidate diagnostic tree (-dtrace); debug path only.
     """
     et: trial.EncoderTables = enc_key.tables
     dt = dtables_key.tables
@@ -179,7 +275,9 @@ def compress_symbolic_batch(dtables_key, enc_key, cfgs: _CfgStatic, texels):
     bsd = enc_key.bsd
 
     N, T, _ = texels.shape
-    st = make_block_state(texels, cw, profile)
+    st = make_block_state(
+        texels, cw, profile,
+        alpha_weight=bool(cfg.flags & Flags.USE_ALPHA_WEIGHT))
 
     # --- Constant color detection --------------------------------------------
     is_const = jnp.all(st["data_min"] == st["data_max"], axis=1)
@@ -197,11 +295,17 @@ def compress_symbolic_batch(dtables_key, enc_key, cfgs: _CfgStatic, texels):
                                 + 0.5).astype(jnp.int32)
 
     # --- Error thresholds ------------------------------------------------------
-    ews = float(sum(cw)) * T
+    # error_weight_sum (reference: :1204); per-block under USE_ALPHA_WEIGHT
+    cwe = trial.effective_cw(cfg, st)
+    ews = (jnp.sum(cwe, axis=-1) * T if isinstance(cwe, jnp.ndarray)
+           else float(sum(cw)) * T)
     l_scale = jnp.where(st["is_luminance"], 1.0 / 1.5, 1.0)
     la_scale = jnp.where(st["is_luminancealpha"], 1.0 / 1.05, 1.0)
     error_threshold = cfg.tune_db_limit * ews * l_scale * la_scale
     overshoot = 1.0 / cfg.tune_mse_overshoot
+
+    if tracer is not None:
+        _trace_blocks(tracer, st, error_threshold, is_const, N)
 
     scb = trial.empty_scb(N, T)
     scb["finished"] = is_const
@@ -226,11 +330,20 @@ def compress_symbolic_batch(dtables_key, enc_key, cfgs: _CfgStatic, texels):
         # recorded winner quant only filters the LATER 2-plane and
         # multi-partition passes (reference: astcenc_compress_symbolic.cpp
         # :1292-1318 passes QUANT_32 here, quant_limit below).
-        scb, errv = _trial1_jit(
-            enc_key, cfg, profile, u8_mask, 1, i == 0,
-            st, pot1, counts1, pindex1,
-            error_threshold * errorval_mult[i] * overshoot,
-            full_limit, scb)
+        thr1 = error_threshold * errorval_mult[i] * overshoot
+        if tracer is None:
+            scb, errv = _trial1_jit(
+                enc_key, cfg, profile, u8_mask, 1, i == 0,
+                st, pot1, counts1, pindex1, thr1, full_limit, scb)
+        else:
+            recs = trial.trial1_records(
+                st, enc_key.tables, cfg, profile, u8_mask, pot1, counts1,
+                1, i == 0, full_limit, ~scb["finished"])
+            _trace_pass(tracer, enc_key.bsd, recs, partition_count=1,
+                        plane_count=1, active=~scb["finished"],
+                        only_always=(i == 0))
+            scb, errv = trial.apply_records_1plane(scb, recs, thr1, 1,
+                                                   pindex1)
 
         # Track winner's weight quant for later trials
         won = ~scb["block_type_error"]
@@ -249,7 +362,12 @@ def compress_symbolic_batch(dtables_key, enc_key, cfgs: _CfgStatic, texels):
     # computes are the batch rows); the reference's sequential early-out
     # bookkeeping replays afterwards on cheap (N,)-wide masks.
     if et.m2_quant.shape[0] > 0:
-        lowest_correl = _lowest_correlation(texels, cw)
+        lowest_correl = _lowest_correlation(texels, trial.effective_cw(cfg, st))
+        if tracer is not None:
+            lc = np.asarray(lowest_correl)
+            tb = getattr(tracer, "base", 0)
+            for n in range(min(N, getattr(tracer, "real_n", N))):
+                tracer.block(tb + n).add("lowest_correl", float(lc[n]))
         skip_two_plane = (lowest_correl
                           > cfg.tune_2plane_early_out_limit_correlation)
         comp_order = (3, 2, 1, 0)
@@ -269,6 +387,10 @@ def compress_symbolic_batch(dtables_key, enc_key, cfgs: _CfgStatic, texels):
             recs_i = {k: v.reshape((4, N) + v.shape[1:])[i]
                       for k, v in recs2.items()}
             active = cand_act[i] & ~stopped2p & ~scb["finished"]
+            if tracer is not None:
+                _trace_pass(tracer, enc_key.bsd, recs_i, partition_count=1,
+                            plane_count=2, active=active,
+                            plane_component=comp)
             p2c_vec = jnp.full((N,), comp, jnp.int32)
             scb, errv = trial.apply_records_2plane(
                 scb, recs_i, error_threshold * overshoot, p2c_vec, active)
@@ -326,6 +448,11 @@ def compress_symbolic_batch(dtables_key, enc_key, cfgs: _CfgStatic, texels):
             recs_i = {k: v.reshape((ntr, N) + v.shape[1:])[ti]
                       for k, v in recs_p.items()}
             ok = valid[:, ti]
+            if tracer is not None:
+                _trace_pass(tracer, enc_key.bsd, recs_i,
+                            partition_count=pc, plane_count=1,
+                            active=ok & ~scb["finished"],
+                            partition_index=np.asarray(seeds[:, ti]))
             saved_fin = scb["finished"]
             scb = dict(scb)
             scb["finished"] = saved_fin | ~ok
@@ -408,7 +535,7 @@ class EncKey:
 
 
 def compress_image(ctx, image, swizzle=(0, 1, 2, 3),
-                   progress_callback=None):
+                   progress_callback=None, tracer=None):
     """Compress an image array to (N, 16) blocks, raster order.
 
     Reference flow: astcenc_compress_image (astcenc_entry.cpp:1113) +
@@ -504,8 +631,22 @@ def compress_image(ctx, image, swizzle=(0, 1, 2, 3),
         if bucket != m:
             pad = np.broadcast_to(part[:1], (bucket - m,) + part.shape[1:])
             part = np.concatenate([part, pad], axis=0)
-        pcb = _compress_jit(ctx._dtables_key, ctx._enc_key, cfgs,
-                            jnp.asarray(part))
+        if tracer is not None:
+            # Trace capture path: block coords + unjitted split stages.
+            bx_, by_, bz_ = ctx.block_dims
+            tracer.base = lo
+            tracer.real_n = m
+            for bi in range(m):
+                gi = lo + bi
+                tracer.positions[gi] = (
+                    (gi % nx) * bx_, ((gi // nx) % ny) * by_,
+                    (gi // (nx * ny)) * bz_)
+            pcb = compress_symbolic_batch(
+                ctx._dtables_key, ctx._enc_key, cfgs, jnp.asarray(part),
+                tracer=tracer)
+        else:
+            pcb = _compress_jit(ctx._dtables_key, ctx._enc_key, cfgs,
+                                jnp.asarray(part))
         outs.append(np.asarray(pcb)[:m])
         if progress_callback is not None:
             progress_callback(min(100.0, 100.0 * (lo + m) / n))

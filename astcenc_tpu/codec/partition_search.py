@@ -27,11 +27,13 @@ _CLUSTER_CUTOFFS = np.array([
 def _kmeans(texels, cw, texel_count: int, partition_count: int):
     """3 rounds of k-means (reference: compute_kmeans_partition_ordering)."""
     N, T, _ = texels.shape
-    cwj = jnp.array(cw, jnp.float32)
+    cwj = jnp.asarray(cw, jnp.float32)
+    cw_t = cwj[:, None, :] if cwj.ndim == 2 else cwj
+    cw_tk = cwj[:, None, None, :] if cwj.ndim == 2 else cwj
 
     def dist_to(center):
         d = texels - center[:, None, :]
-        return jnp.sum(d * d * cwj, axis=-1)  # (N, T)
+        return jnp.sum(d * d * cw_t, axis=-1)  # (N, T)
 
     # kmeans_init (reference: :60-135)
     sample0 = 145897 % texel_count
@@ -57,7 +59,7 @@ def _kmeans(texels, cw, texel_count: int, partition_count: int):
 
     def assign(centers):
         d = texels[:, :, None, :] - centers[:, None, :, :]
-        dist = jnp.sum(d * d * cwj, axis=-1)      # (N, T, K)
+        dist = jnp.sum(d * d * cw_tk, axis=-1)    # (N, T, K)
         part = jnp.argmin(dist, axis=-1)          # first-min = reference
         # Fix empty partitions: assign texel i to partition i, repeated
         # (reference: kmeans_assign :184-198). Two sweeps suffice for K<=4.
@@ -144,6 +146,15 @@ def find_best_partition_candidates(st, bsd, cw, partition_count: int,
     """
     texels = st["texels"]
     N, T, _ = texels.shape
+    cw_scale = st.get("cw_scale")
+    if cw_scale is not None:
+        # Per-block channel weights (USE_ALPHA_WEIGHT): rgb lanes scaled by
+        # the block's max alpha (reference: astcenc_entry.cpp:1016-1035).
+        s = cw_scale
+        cw_eff = jnp.stack([s * cw[0], s * cw[1], s * cw[2],
+                            jnp.full_like(s, jnp.float32(cw[3]))], axis=1)
+    else:
+        cw_eff = cw
     parts = bsd.partitionings[partition_count]
     q_sel = parts["count_selected"]
     search = min(partition_search_limit, q_sel)
@@ -160,7 +171,7 @@ def find_best_partition_candidates(st, bsd, cw, partition_count: int,
     wie = wie * wie
 
     # --- k-means ordering -----------------------------------------------------
-    km_part = _kmeans(texels, cw, bsd.texel_count, partition_count)  # (N, T)
+    km_part = _kmeans(texels, cw_eff, bsd.texel_count, partition_count)
     kt = jnp.asarray(bsd.kmeans_texels.astype(np.int32))
     km_at = km_part[:, kt]                                   # (N, <=64)
     nk = kt.shape[0]
@@ -183,7 +194,7 @@ def find_best_partition_candidates(st, bsd, cw, partition_count: int,
     seeds_all = jnp.asarray(parts["seed"].astype(np.int32))
 
     uses_alpha = st["uses_alpha"]  # (N,) bool
-    cwj = jnp.array(cw, jnp.float32)
+    cwj = jnp.asarray(cw_eff, jnp.float32)
 
     S = search
     if gather_ops._use_pallas() and T <= 128:
@@ -192,7 +203,8 @@ def find_best_partition_candidates(st, bsd, cw, partition_count: int,
         potS = pot_all[top]                                  # (N, S, T)
         texk = refine_ops.pack_tex(texels)
         uncor, samec = psearch_ops.line_errors(
-            potS, texk, uses_alpha, partition_count, wie, cw)
+            potS, texk, uses_alpha, partition_count, wie, cw,
+            cw_scale=cw_scale)
         return _select_candidates(uncor, samec, seeds_all, top, N, S, reqc)
 
     # Vectorize the detailed ranking over all top candidates at once by
@@ -201,6 +213,11 @@ def find_best_partition_candidates(st, bsd, cw, partition_count: int,
     counts_f = ptc_all[top].reshape(N * S, 4).astype(jnp.float32)
     tex_rep = jnp.broadcast_to(texels[:, None], (N, S, T, 4)).reshape(
         N * S, T, 4)
+    if cwj.ndim == 2:
+        cw_f = jnp.broadcast_to(cwj[:, None, :], (N, S, 4)).reshape(
+            N * S, 1, 4)
+    else:
+        cw_f = cwj
     pmask = ideal_ops.partition_onehot(pot)
 
     def line_errors(comp_mask):
@@ -215,12 +232,12 @@ def find_best_partition_candidates(st, bsd, cw, partition_count: int,
         am_t = jnp.einsum("ntp,npc->ntc", pmask, uncor_amod)
         param_u = jnp.sum(tex_rep * b_t * cm, -1)
         dist_u = am_t + param_u[..., None] * b_t - tex_rep
-        err_u = jnp.sum(dist_u * dist_u * cwj * cm, -1)
+        err_u = jnp.sum(dist_u * dist_u * cw_f * cm, -1)
 
         bs_t = jnp.einsum("ntp,npc->ntc", pmask, samec_b)
         param_s = jnp.sum(tex_rep * bs_t * cm, -1)
         dist_s = param_s[..., None] * bs_t - tex_rep
-        err_s = jnp.sum(dist_s * dist_s * cwj * cm, -1)
+        err_s = jnp.sum(dist_s * dist_s * cw_f * cm, -1)
 
         uncor_err = err_u.sum(-1)
         samec_err = err_s.sum(-1)

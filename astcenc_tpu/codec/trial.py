@@ -33,6 +33,34 @@ from ..tables import ise, quant
 ERROR_CALC_DEFAULT = 1e30
 QUANT_32 = 11
 
+
+def effective_cw(cfg, st):
+    """Per-block channel weights.
+
+    With USE_ALPHA_WEIGHT (-a), each block's r/g/b error weights scale by
+    its max alpha (reference: astcenc_entry.cpp:1016-1035) — returns an
+    (N, 4) tensor. Otherwise returns the static config tuple, keeping the
+    common path compile-time constant.
+    """
+    s = st.get("cw_scale")
+    cw = cfg.channel_weights
+    if s is None:
+        return cw
+    return jnp.stack([s * cw[0], s * cw[1], s * cw[2],
+                      jnp.full_like(s, jnp.float32(cw[3]))], axis=1)
+
+
+def cw_bcast(cw, extra_axes: int):
+    """Channel weights as an f32 array broadcastable over `extra_axes`
+    middle axes: (4,) stays (4,); per-block (N, 4) becomes
+    (N, 1*extra, 4)."""
+    a = jnp.asarray(cw, jnp.float32)
+    if a.ndim == 2 and extra_axes:
+        return a.reshape((a.shape[0],) + (1,) * extra_axes + (4,))
+    return a
+
+
+
 _QUANT_LEVELS_M1 = np.array(
     [1, 2, 3, 4, 5, 7, 9, 11, 15, 19, 23, 31], dtype=np.float32)
 
@@ -160,7 +188,7 @@ def _rgbm_trial_error(texels, color, cw, rgbm_scale):
     dec = color[..., :3] * color[..., 3:4] * scale
     org = texels[..., :3] * texels[..., 3:4] * scale
     d3 = jnp.minimum(jnp.abs(org - dec), 1e15)
-    cw3 = jnp.array(cw, jnp.float32)[:3]
+    cw3 = cw_bcast(cw, 1)[..., :3]
     err_t = jnp.minimum(jnp.sum(d3 * d3 * cw3, -1),
                         jnp.float32(ERROR_CALC_DEFAULT))
     err = jnp.sum(err_t, axis=-1)
@@ -195,7 +223,7 @@ def trial_error_1plane(texels, pmask, fmt, values, wgrid, Mint, cw, profile,
     if rgbm_scale > 0.0:
         return _rgbm_trial_error(texels, color, cw, rgbm_scale)
     d = jnp.minimum(jnp.abs(texels - color), 1e15)
-    err_t = jnp.minimum(jnp.sum(d * d * jnp.array(cw, jnp.float32), -1),
+    err_t = jnp.minimum(jnp.sum(d * d * cw_bcast(cw, 1), -1),
                         jnp.float32(ERROR_CALC_DEFAULT))
     return jnp.sum(err_t, axis=-1)
 
@@ -228,7 +256,7 @@ def trial_error_2plane(texels, fmt0, values0, wgrid1, wgrid2, p2c, Mint, cw,
     if rgbm_scale > 0.0:
         return _rgbm_trial_error(texels, color, cw, rgbm_scale)
     d = jnp.minimum(jnp.abs(texels - color), 1e15)
-    err_t = jnp.minimum(jnp.sum(d * d * jnp.array(cw, jnp.float32), -1),
+    err_t = jnp.minimum(jnp.sum(d * d * cw_bcast(cw, 1), -1),
                         jnp.float32(ERROR_CALC_DEFAULT))
     return jnp.sum(err_t, axis=-1)
 
@@ -273,7 +301,8 @@ def trial1_records(st, et: EncoderTables, cfg, profile: int,
     """
     texels = st["texels"]
     N, T, _ = texels.shape
-    cw = cfg.channel_weights
+    cw = effective_cw(cfg, st)
+    cw_s = st.get("cw_scale")
 
     # Static mode/decimation-axis slicing. The only_always pass touches a
     # handful of modes (often one), so shrink every per-mode and
@@ -320,12 +349,6 @@ def trial1_records(st, et: EncoderTables, cfg, profile: int,
         "ep1": sel(ei4["ep1"], ei3["ep1"], 2),
     }
 
-    # --- Ideal decimated weights --------------------------------------------
-    dec_ideal = ideal_ops.ideal_weights_for_decimation(
-        ei["weights"], ei["weight_error_scale"],
-        jnp.asarray(dec_int_np), jnp.asarray(dec_sq_np),
-        jnp.asarray(dec_f32_np))                      # (N, D, W)
-
     # --- min weight cutoff ----------------------------------------------------
     ep = (1.0 - ei["ep0"]) / (ei["ep1"] - ei["ep0"])   # (N, P, 4)
     use_ep = (ep > 0.5) & (ep < 10.0)
@@ -334,18 +357,12 @@ def trial1_records(st, et: EncoderTables, cfg, profile: int,
     min_ep = jnp.min(jnp.where(use_ep, ep, 10.0), axis=(1, 2))
     min_wt_cutoff = min_ep                             # (N,)
 
-    # --- Angular endpoints ----------------------------------------------------
     D = dec_int_np.shape[0]
     W = dec_int_np.shape[2]
     M1 = quant_m.shape[0]
     wslots = np.arange(W)
     wvalid_np = wslots[None, :] < dec_wcount_np[:, None]
     max_wq = jnp.minimum(QUANT_32, quant_limit)        # (N,)
-    maxprec = jnp.asarray(dm_maxprec1_np)[None, :]     # (1, D)
-    max_precision = jnp.minimum(jnp.minimum(maxprec, ang.TUNE_MAX_ANGULAR_QUANT),
-                                max_wq[:, None])
-    low_v, high_v = ang.angular_endpoints_for_quant_levels(
-        dec_ideal, jnp.asarray(wvalid_np), max_precision)  # (N, D, 8)
 
     # --- Endpoint format selection (front tables) ----------------------------
     bitcount_np = _FREE_BITS_1PLANE[pc] - weight_bits_sel
@@ -378,24 +395,27 @@ def trial1_records(st, et: EncoderTables, cfg, profile: int,
     tex_f = rep(texels)
     pmask_f = rep(pmask)
     counts_f = rep(counts)
+    cw_f = rep(cw) if isinstance(cw, jnp.ndarray) else cw
+    cws_f = rep(cw_s) if cw_s is not None else None
 
     use_ms = (gather_ops._use_pallas()
               and gather_ops._kernel_enabled("msearch")
               and T <= 128 and W <= 64)
     if use_ms:
-        # --- Fused Pallas mode search (see ops/msearch_pallas.py) ---------
-        # Per-mode quantize + weight-set error + format chain + top-C run
-        # in VMEM; none of the (N, M, W)/(N, M, T) tensors exist.
+        # --- Fused Pallas trial front-end (see ops/msearch_pallas.py) -----
+        # Decimated ideal weights, angular ranges, per-mode quantize +
+        # weight-set error, format chain and top-C all run in VMEM; none
+        # of the (N, D, W)/(N, M, W)/(N, M, T) tensors exist.
         mmeta = msearch_ops.make_mode_meta(
             quant_m, dm_m, weight_bits_sel, mode_index_sel,
             _FREE_BITS_1PLANE[pc], et.weight_quant_unquant,
             et.quant_mode_table, mod_bits, pc, ang.TUNE_MAX_ANGULAR_QUANT)
-        ms_tabs = msearch_ops.MsTables(dec_f32_np)
+        ms_tabs = msearch_ops.MsTables(dec_int_np, dec_f32_np,
+                                       dec_wcount_np, dm_maxprec1_np)
         cfmt4 = comb_fmt if pc > 1 else comb_fmt[..., None]
         ms = msearch_ops.mode_search(
-            ms_tabs, dec_ideal, low_v, high_v, ei["weights"],
-            ei["weight_error_scale"], min_wt_cutoff,
-            max_wq, comb_err, cfmt4, mmeta, C, pc)
+            ms_tabs, ei["weights"], ei["weight_error_scale"],
+            min_wt_cutoff, max_wq, comb_err, cfmt4, mmeta, C, pc)
         cand_mode_idx = ms["mode"]                       # (N, C) raw 11-bit
         cand_valid = ms["valid"]
         valid_f = (cand_valid & ext_valid[:, None]).reshape(NC)
@@ -406,7 +426,19 @@ def trial1_records(st, et: EncoderTables, cfg, profile: int,
         cqm_f = ms["cqm"].reshape(NC)
         wgrid0 = ms["uq"].reshape(NC, W)
     else:
-        # --- Per-mode weight quantization + error (XLA) -------------------
+        # --- Ideal decimated weights + angular endpoints (XLA) ------------
+        dec_ideal = ideal_ops.ideal_weights_for_decimation(
+            ei["weights"], ei["weight_error_scale"],
+            jnp.asarray(dec_int_np), jnp.asarray(dec_sq_np),
+            jnp.asarray(dec_f32_np))                  # (N, D, W)
+        maxprec = jnp.asarray(dm_maxprec1_np)[None, :]   # (1, D)
+        max_precision = jnp.minimum(
+            jnp.minimum(maxprec, ang.TUNE_MAX_ANGULAR_QUANT),
+            max_wq[:, None])
+        low_v, high_v = ang.angular_endpoints_for_quant_levels(
+            dec_ideal, jnp.asarray(wvalid_np), max_precision)  # (N, D, 8)
+
+        # --- Per-mode weight quantization + error -------------------------
         # low/high per (n, m)
         ang_ok = quant_m <= ang.TUNE_MAX_ANGULAR_QUANT
         ql_idx = np.where(ang_ok, quant_m, 0)
@@ -494,7 +526,7 @@ def trial1_records(st, et: EncoderTables, cfg, profile: int,
     def fit_and_pack(undec, ep0_c, ep1_c):
         """LS endpoint refit + color pack + decode for the current grid."""
         rc = recompute_ops.recompute_ideal_colors_1plane(
-            tex_f, pmask_f, counts_f, undec, cw, ep0_c, ep1_c,
+            tex_f, pmask_f, counts_f, undec, cw_f, ep0_c, ep1_c,
             is_hdr=(profile >= 2))
         ep0_c, ep1_c = rc["ep0"], rc["ep1"]
 
@@ -550,8 +582,9 @@ def trial1_records(st, et: EncoderTables, cfg, profile: int,
              rep(ei["ep1"]).reshape(NC, 16)], axis=1)
         (fmt4_k, vals4_k, useq_k, match_k, wpost_k, errpre_k,
          errpost_k) = refine_ops.trial1_refine_full(
-            rtabs, meta, fmeta, texk, et.ncolors, u8_mask, cw, R, pc,
-            profile)
+            rtabs, meta, fmeta, texk, et.ncolors, u8_mask,
+            cfg.channel_weights, R, pc,
+            profile, cw_scale=cws_f)
         for r in range(R):
             w_pre = wgrid0 if r == 0 else wpost_k[r - 1]
             err_pre = (errpre_k if r == 0
@@ -569,7 +602,8 @@ def trial1_records(st, et: EncoderTables, cfg, profile: int,
         meta0 = refine_ops.pack_meta(wgrid0, dm_f, wq_f, valid_f,
                                      zero_ep, zero_ep, pot_f, T)
         _, _, undec, _, _ = refine_ops.refine_round_1plane(
-            rtabs, meta0, texk, 0, u8_mask, cw)
+            rtabs, meta0, texk, 0, u8_mask, cfg.channel_weights,
+            cw_scale=cws_f)
         wgrid = wgrid0
         alive = valid_f
         ep0_c, ep1_c = rep(ei["ep0"]), rep(ei["ep1"])
@@ -580,7 +614,8 @@ def trial1_records(st, et: EncoderTables, cfg, profile: int,
                                         ep0i, ep1i, pot_f, T)
             (new_w, adjusted, undec, err_pre_k,
              err_post_k) = refine_ops.refine_round_1plane(
-                rtabs, meta, texk, et.ncolors, u8_mask, cw)
+                rtabs, meta, texk, et.ncolors, u8_mask,
+                cfg.channel_weights, cw_scale=cws_f)
             if r == 0:
                 err_pre = jnp.where(alive, err_pre_k, jnp.float32(1e30))
             else:
@@ -623,7 +658,7 @@ def trial1_records(st, et: EncoderTables, cfg, profile: int,
                 # err_pre is only recorded for round 0 (the record stream is
                 # [r0-pre, r0-post, r1-post, ...]); skip the dead eval else.
                 err_pre = trial_error_1plane(
-                    tex_f, pmask_f, fmt4, vals4, wgrid, Mint_f, cw, profile,
+                    tex_f, pmask_f, fmt4, vals4, wgrid, Mint_f, cw_f, profile,
                     u8_mask, rgbm_scale=cfg.rgbm_scale, ep_t=(ep0_t, ep1_t))
                 err_pre = jnp.where(alive, err_pre, jnp.float32(1e30))
             else:
@@ -632,12 +667,12 @@ def trial1_records(st, et: EncoderTables, cfg, profile: int,
 
             new_wgrid, adjusted = realign_ops.realign_decimated_grouped(
                 wgrid, tex_f, pmask_f, ep0i, ep1i,
-                cw, pn, wq_f, Mf32_f, incid_f, wvalid_f, color_f,
+                cw_f, pn, wq_f, Mf32_f, incid_f, wvalid_f, color_f,
                 et.ncolors, ep_t=(ep0_t, ep1_t))
             wgrid = jnp.where(alive[:, None], new_wgrid, wgrid)
 
             err_post = trial_error_1plane(
-                tex_f, pmask_f, fmt4, vals4, wgrid, Mint_f, cw, profile,
+                tex_f, pmask_f, fmt4, vals4, wgrid, Mint_f, cw_f, profile,
                 u8_mask, rgbm_scale=cfg.rgbm_scale, ep_t=(ep0_t, ep1_t))
             err_post = jnp.where(alive, err_post, jnp.float32(1e30))
             alive = alive & adjusted
@@ -801,7 +836,8 @@ def trial2_records(st, et: EncoderTables, cfg, profile: int,
     """
     texels = st["texels"]
     N, T, _ = texels.shape
-    cw = cfg.channel_weights
+    cw = effective_cw(cfg, st)
+    cw_s = st.get("cw_scale")
 
     pot1 = jnp.zeros((N, T), jnp.int32)
     counts1 = jnp.zeros((N, 4), jnp.int32).at[:, 0].set(T)
@@ -862,6 +898,10 @@ def trial2_records(st, et: EncoderTables, cfg, profile: int,
               "data_mean": jnp.concatenate([st["data_mean"]] * 4, 0)}
         quant_limit = jnp.concatenate([quant_limit] * 4, 0)
         ext_valid = ext_valid.T.reshape(4 * N)
+        if isinstance(cw, jnp.ndarray):
+            cw = jnp.concatenate([cw] * 4, 0)
+        if cw_s is not None:
+            cw_s = jnp.concatenate([cw_s] * 4, 0)
         N = 4 * N
         pmask = ideal_ops.partition_onehot(jnp.zeros((N, T), jnp.int32))
         counts1 = jnp.zeros((N, 4), jnp.int32).at[:, 0].set(T)
@@ -871,16 +911,6 @@ def trial2_records(st, et: EncoderTables, cfg, profile: int,
         ei2 = sel_comp(ei2_variants)
 
     # --- Ideal decimated weights for both planes -------------------------------
-    dec_int_j = jnp.asarray(et.dec_int)
-    dec_sq_j = jnp.asarray(et.dec_sq)
-    dec_f32_j = jnp.asarray(et.dec_f32)
-    di1 = ideal_ops.ideal_weights_for_decimation(
-        ei1["weights"], ei1["weight_error_scale"], dec_int_j, dec_sq_j,
-        dec_f32_j)
-    di2 = ideal_ops.ideal_weights_for_decimation(
-        ei2["weights"], ei2["weight_error_scale"], dec_int_j, dec_sq_j,
-        dec_f32_j)
-
     # --- min weight cutoffs (reference: :763-785) ------------------------------
     lane = jnp.arange(4)
     err_lane = lane[None, :] == p2c[:, None]
@@ -896,17 +926,9 @@ def trial2_records(st, et: EncoderTables, cfg, profile: int,
     min_wt_cutoff2 = jnp.min(
         jnp.where(err_lane, min_ep2, jnp.float32(ERROR_CALC_DEFAULT)), axis=1)
 
-    # --- Angular endpoints ------------------------------------------------------
     W = et.dec_int.shape[2]
     wvalid_np = np.arange(W)[None, :] < et.dec_wcount[:, None]
     max_wq = jnp.minimum(QUANT_32, quant_limit)
-    maxprec = jnp.asarray(et.dm_maxprec2)[None, :]
-    max_precision = jnp.minimum(
-        jnp.minimum(maxprec, ang.TUNE_MAX_ANGULAR_QUANT), max_wq[:, None])
-    low1, high1 = ang.angular_endpoints_for_quant_levels(
-        di1, jnp.asarray(wvalid_np), max_precision)
-    low2, high2 = ang.angular_endpoints_for_quant_levels(
-        di2, jnp.asarray(wvalid_np), max_precision)
 
     # --- Merged endpoints + format tables --------------------------------------
     quant_m = et.m2_quant
@@ -945,26 +967,28 @@ def trial2_records(st, et: EncoderTables, cfg, profile: int,
     p2c_f = rep(p2c)
     mean_f = rep(st["data_mean"])
     p2lanes_f = rep(err_lane)
+    cw_f = rep(cw) if isinstance(cw, jnp.ndarray) else cw
+    cws_f = rep(cw_s) if cw_s is not None else None
 
     use_ms = (gather_ops._use_pallas()
               and gather_ops._kernel_enabled("msearch")
               and T <= 128 and W <= 64)
     if use_ms:
-        # --- Fused Pallas mode search, both planes in one kernel ----------
+        # --- Fused Pallas trial front-end, both planes in one kernel ------
         # (see ops/msearch_pallas.py; the two=True layout carries plane-2
-        # ideal grids/ranges in the upper input rows).
+        # ideal weights/scales in the upper input rows, and both planes'
+        # decimated-ideal + angular stages run in VMEM).
         mmeta = msearch_ops.make_mode_meta(
             quant_m, dm_m, et.m2_weight_bits, et.m2_mode_index, 109,
             et.weight_quant_unquant, et.quant_mode_table, 0, 1,
             ang.TUNE_MAX_ANGULAR_QUANT)
-        ms_tabs = msearch_ops.MsTables(et.dec_f32)
+        ms_tabs = msearch_ops.MsTables(et.dec_int, et.dec_f32,
+                                       et.dec_wcount, et.dm_maxprec2)
         ms = msearch_ops.mode_search(
-            ms_tabs, di1, low1, high1, ei1["weights"],
-            ei1["weight_error_scale"], min_wt_cutoff1, max_wq,
-            be[:, 0], fm[:, 0][..., None], mmeta, C, 1,
-            dec_ideal2=di2, low_v2=low2, high_v2=high2,
-            wei2=ei2["weights"], wes2=ei2["weight_error_scale"],
-            mcut2=min_wt_cutoff2)
+            ms_tabs, ei1["weights"], ei1["weight_error_scale"],
+            min_wt_cutoff1, max_wq, be[:, 0], fm[:, 0][..., None],
+            mmeta, C, 1, wei2=ei2["weights"],
+            wes2=ei2["weight_error_scale"], mcut2=min_wt_cutoff2)
         cand_mode_idx = ms["mode"]                       # (N, C) raw 11-bit
         cand_valid = ms["valid"]
         valid_f = (cand_valid & ext_valid[:, None]).reshape(NC)
@@ -976,7 +1000,26 @@ def trial2_records(st, et: EncoderTables, cfg, profile: int,
         wg1_0 = ms["uq"].reshape(NC, W)
         wg2_0 = ms["uq2"].reshape(NC, W)
     else:
-        # --- Per-mode quantized weights + error (XLA) ---------------------
+        # --- Ideal decimated weights + angular endpoints (XLA) ------------
+        dec_int_j = jnp.asarray(et.dec_int)
+        dec_sq_j = jnp.asarray(et.dec_sq)
+        dec_f32_j = jnp.asarray(et.dec_f32)
+        di1 = ideal_ops.ideal_weights_for_decimation(
+            ei1["weights"], ei1["weight_error_scale"], dec_int_j,
+            dec_sq_j, dec_f32_j)
+        di2 = ideal_ops.ideal_weights_for_decimation(
+            ei2["weights"], ei2["weight_error_scale"], dec_int_j,
+            dec_sq_j, dec_f32_j)
+        maxprec = jnp.asarray(et.dm_maxprec2)[None, :]
+        max_precision = jnp.minimum(
+            jnp.minimum(maxprec, ang.TUNE_MAX_ANGULAR_QUANT),
+            max_wq[:, None])
+        low1, high1 = ang.angular_endpoints_for_quant_levels(
+            di1, jnp.asarray(wvalid_np), max_precision)
+        low2, high2 = ang.angular_endpoints_for_quant_levels(
+            di2, jnp.asarray(wvalid_np), max_precision)
+
+        # --- Per-mode quantized weights + error ---------------------------
         ang_ok = quant_m <= ang.TUNE_MAX_ANGULAR_QUANT
         ql_idx = np.where(ang_ok, quant_m, 0)
         D2 = et.dec_int.shape[0]
@@ -1057,7 +1100,7 @@ def trial2_records(st, et: EncoderTables, cfg, profile: int,
                            ).astype(jnp.int32).reshape(NC, W)
     def fit_and_pack2(u1, u2, ep0_c, ep1_c):
         rc = recompute_ops.recompute_ideal_colors_2planes(
-            tex_f, u1, u2, p2c_f, cw, mean_f, ep0_c, ep1_c,
+            tex_f, u1, u2, p2c_f, cw_f, mean_f, ep0_c, ep1_c,
             is_hdr=(profile >= 2))
         ep0_c, ep1_c = rc["ep0"], rc["ep1"]
         fmt_p, vals_p = cph.pack_color_endpoints(
@@ -1084,7 +1127,8 @@ def trial2_records(st, et: EncoderTables, cfg, profile: int,
             ((0, 0), (0, 4)))
         (fmt_k, vals_k, w1_k, w2_k, errpre_k,
          errpost_k) = refine_ops.trial2_refine_full(
-            rtabs, meta, fmeta, texk, et.ncolors, u8_mask, cw, R, profile)
+            rtabs, meta, fmeta, texk, et.ncolors, u8_mask,
+            cfg.channel_weights, R, profile, cw_scale=cws_f)
         for r in range(R):
             fmt4 = jnp.zeros((NC, 4), jnp.int32).at[:, 0].set(fmt_k[r])
             vals4 = jnp.zeros((NC, 4, 8), jnp.int32).at[:, 0].set(vals_k[r])
@@ -1102,7 +1146,8 @@ def trial2_records(st, et: EncoderTables, cfg, profile: int,
         meta0 = refine_ops.pack_meta_2plane(wg1_0, wg2_0, dm_f, wq_f,
                                             valid_f, p2c_f, zero4, zero4)
         _, _, _, u1, u2, _, _ = refine_ops.refine_round_2plane(
-            rtabs, meta0, texk, 0, u8_mask, cw)
+            rtabs, meta0, texk, 0, u8_mask, cfg.channel_weights,
+            cw_scale=cws_f)
         wg1, wg2 = wg1_0, wg2_0
         alive = valid_f
         ep0_c, ep1_c = rep(ep0m[:, 0]), rep(ep1m[:, 0])
@@ -1114,7 +1159,8 @@ def trial2_records(st, et: EncoderTables, cfg, profile: int,
                 ep0i[:, 0], ep1i[:, 0])
             (nw1, nw2, adjusted, u1, u2, err_pre_k,
              err_post_k) = refine_ops.refine_round_2plane(
-                rtabs, meta, texk, et.ncolors, u8_mask, cw)
+                rtabs, meta, texk, et.ncolors, u8_mask,
+                cfg.channel_weights, cw_scale=cws_f)
             if r == 0:
                 err_pre = jnp.where(alive, err_pre_k, jnp.float32(1e30))
             else:
@@ -1155,7 +1201,7 @@ def trial2_records(st, et: EncoderTables, cfg, profile: int,
 
             if r == 0:
                 err_pre = trial_error_2plane(
-                    tex_f, fmt_p, vals_p, wg1, wg2, p2c_f, Mint_f, cw,
+                    tex_f, fmt_p, vals_p, wg1, wg2, p2c_f, Mint_f, cw_f,
                     profile, u8_mask, rgbm_scale=cfg.rgbm_scale, ep=ep_pair)
                 err_pre = jnp.where(alive, err_pre, jnp.float32(1e30))
             else:
@@ -1163,11 +1209,11 @@ def trial2_records(st, et: EncoderTables, cfg, profile: int,
             w1_pre, w2_pre = wg1, wg2
 
             nw1, adj1 = realign_ops.realign_decimated_grouped(
-                wg1, tex_f, pmask_f, ep0i, ep1i, cw, pn, wq_f, Mf32_f,
+                wg1, tex_f, pmask_f, ep0i, ep1i, cw_f, pn, wq_f, Mf32_f,
                 incid_f, wvalid_f, color_f, et.ncolors,
                 plane_mask=p2lanes_f, ep_t=(ep0_t, ep1_t))
             nw2, adj2 = realign_ops.realign_decimated_grouped(
-                wg2, tex_f, pmask_f, ep0i, ep1i, cw, pn, wq_f, Mf32_f,
+                wg2, tex_f, pmask_f, ep0i, ep1i, cw_f, pn, wq_f, Mf32_f,
                 incid_f, wvalid_f, color_f, et.ncolors,
                 plane_mask=~p2lanes_f, ep_t=(ep0_t, ep1_t))
             wg1 = jnp.where(alive[:, None], nw1, wg1)
@@ -1175,7 +1221,7 @@ def trial2_records(st, et: EncoderTables, cfg, profile: int,
             adjusted = adj1 | adj2
 
             err_post = trial_error_2plane(
-                tex_f, fmt_p, vals_p, wg1, wg2, p2c_f, Mint_f, cw, profile,
+                tex_f, fmt_p, vals_p, wg1, wg2, p2c_f, Mint_f, cw_f, profile,
                 u8_mask, rgbm_scale=cfg.rgbm_scale, ep=ep_pair)
             err_post = jnp.where(alive, err_post, jnp.float32(1e30))
             alive = alive & adjusted

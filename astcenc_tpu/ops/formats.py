@@ -28,6 +28,16 @@ _BASELINE_QUANT_ERROR = np.array([
 ], dtype=np.float32)
 
 
+def _cw_parts(channel_weight):
+    """(cw3 vs (N,T/P,3), cw_a vs (N,P), rgbsum vs (N,P)) for a static
+    tuple or per-block (N, 4) channel weights (USE_ALPHA_WEIGHT)."""
+    cw = jnp.asarray(channel_weight, jnp.float32)
+    if cw.ndim == 2:
+        return cw[:, None, :3], cw[:, 3:4], jnp.sum(cw[:, :3], -1,
+                                                    keepdims=True)
+    return cw[:3], cw[3], jnp.sum(cw[:3])
+
+
 def encoding_choice_errors(texels, pmask, counts, ep0, ep1, channel_weight,
                            is_luminance, default_alpha):
     """Estimate the error of cheaper endpoint encodings per partition.
@@ -45,7 +55,7 @@ def encoding_choice_errors(texels, pmask, counts, ep0, ep1, channel_weight,
       rgb_scale_error, rgb_luma_error, luminance_error, alpha_drop_error,
       can_offset_encode, can_blue_contract.
     """
-    cw = jnp.array(channel_weight, jnp.float32)
+    cw3, cw_a, _ = _cw_parts(channel_weight)
     rgb_mask = (1, 1, 1, 0)
     avg, dirv = ideal_ops.avgs_and_dirs(texels, pmask, rgb_mask)
 
@@ -58,7 +68,7 @@ def encoding_choice_errors(texels, pmask, counts, ep0, ep1, channel_weight,
         # b_t/amod_t: (N, T, 4) per-texel line params (RGB lanes)
         param = jnp.sum(texels[..., :3] * b_t[..., :3], axis=-1)
         dist = amod_t[..., :3] + param[..., None] * b_t[..., :3] - texels[..., :3]
-        err = jnp.sum(dist * dist * cw[:3], axis=-1)  # (N, T)
+        err = jnp.sum(dist * dist * cw3, axis=-1)  # (N, T)
         return jnp.einsum("ntp,nt->np", pmask, err)
 
     def proj(a, b):
@@ -82,7 +92,7 @@ def encoding_choice_errors(texels, pmask, counts, ep0, ep1, channel_weight,
                      jnp.zeros_like(texels))
 
     a_diff = texels[..., 3] - default_alpha
-    a_drop = jnp.einsum("ntp,nt->np", pmask, a_diff * a_diff) * cw[3]
+    a_drop = jnp.einsum("ntp,nt->np", pmask, a_diff * a_diff) * cw_a
 
     epd = jnp.abs(ep1 - ep0)
     can_offset = jnp.all(epd[..., :3] < 0.12 * 65535.0, axis=-1)
@@ -105,8 +115,7 @@ def color_error_tables_ldr(eci, ep0, ep1, counts, channel_weight):
 
     Returns (best_error (N, P, 21, 4), format (N, P, 21, 4) int32).
     """
-    cw = jnp.array(channel_weight, jnp.float32)
-    ew_rgbsum = jnp.sum(cw[:3])
+    cw3, cw_a, ew_rgbsum = _cw_parts(channel_weight)
     psize = counts.astype(jnp.float32)  # (N, P)
 
     offset = jnp.float32(65535.0)
@@ -115,12 +124,12 @@ def color_error_tables_ldr(eci, ep0, ep1, counts, channel_weight):
     e0l = jnp.minimum(ep0, 0.0)
     e1l = jnp.minimum(ep1, 0.0)
     sum_range = e0l * e0l + e1l * e1l + e0h * e0h + e1h * e1h
-    rgb_range_error = (jnp.sum(sum_range[..., :3] * cw[:3], axis=-1)
+    rgb_range_error = (jnp.sum(sum_range[..., :3] * cw3, axis=-1)
                        * 0.5 * psize)
-    alpha_range_error = sum_range[..., 3] * cw[3] * 0.5 * psize
+    alpha_range_error = sum_range[..., 3] * cw_a * 0.5 * psize
 
     base_rgb = ew_rgbsum * psize       # (N, P)
-    base_a = cw[3] * psize
+    base_a = cw_a * psize
     base_rgba = base_rgb + base_a
 
     bc_rgba = jnp.where(eci["can_blue_contract"], 0.625, 1.0)
@@ -183,8 +192,7 @@ def color_error_tables_hdr(eci, ep0, ep1, counts, channel_weight,
                            encode_hdr_alpha: bool):
     """HDR arm of compute_color_error_for_every_integer_count_and_quant_level
     (reference: :379-559)."""
-    cw = jnp.array(channel_weight, jnp.float32)
-    ew_rgbsum = jnp.sum(cw[:3])
+    cw3, cw_a, ew_rgbsum = _cw_parts(channel_weight)
     psize = counts.astype(jnp.float32)
 
     ul = jnp.float32(61440.0)
@@ -195,9 +203,9 @@ def color_error_tables_hdr(eci, ep0, ep1, counts, channel_weight,
     e0l = jnp.minimum(ep0, 0.0)
     e1l = jnp.minimum(ep1, 0.0)
     sum_range = e0l * e0l + e1l * e1l + e0h * e0h + e1h * e1h
-    rgb_range_error = (jnp.sum(sum_range[..., :3] * cw[:3], axis=-1)
+    rgb_range_error = (jnp.sum(sum_range[..., :3] * cw3, axis=-1)
                        * 0.5 * psize)
-    alpha_range_error = sum_range[..., 3] * cw[3] * 0.5 * psize
+    alpha_range_error = sum_range[..., 3] * cw_a * 0.5 * psize
 
     # Statistics driving the RGBO/RGB submode estimates (reference: :382-512)
     r1, g1, b1 = ep1[..., 0], ep1[..., 1], ep1[..., 2]
@@ -259,7 +267,7 @@ def color_error_tables_hdr(eci, ep0, ep1, counts, channel_weight,
         bq = float(_BASELINE_QUANT_ERROR[q - QUANT_6]) * 1.0
         base_quant_error = bq * psize
         rgb_q = ew_rgbsum * base_quant_error * 2.0
-        a_q = cw[3] * base_quant_error * 2.0
+        a_q = cw_a * base_quant_error * 2.0
         rgba_q = rgb_q + a_q
 
         be = be.at[..., q, 3].set(rgba_q + rgb_range_error

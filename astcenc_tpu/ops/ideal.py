@@ -122,9 +122,13 @@ def ideal_colors_and_weights(texels, pmask, counts, data_min, data_max,
       ep0/ep1 (N, P, 4); is_constant_wes (N,).
     """
     ncomp = sum(comp_mask)
-    cw = jnp.array(channel_weight, dtype=jnp.float32)
+    cw = jnp.asarray(channel_weight, dtype=jnp.float32)
     cm = jnp.array(comp_mask, dtype=jnp.float32)
-    error_weight = jnp.sum(cw * cm) / ncomp
+    # Per-block channel weights (USE_ALPHA_WEIGHT) arrive as (N, 4); the
+    # error weight then becomes a per-block scalar broadcast over texels.
+    error_weight = jnp.sum(cw * cm, axis=-1) / ncomp
+    if cw.ndim == 2:
+        error_weight = error_weight[:, None]               # (N, 1)
 
     if ncomp == 1:
         comp = comp_mask.index(1)

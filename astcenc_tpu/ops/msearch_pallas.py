@@ -1,30 +1,43 @@
-"""Fused mode-search kernel (Pallas/Mosaic TPU).
+"""Fused trial front-end kernel (Pallas/Mosaic TPU).
 
-The per-mode stage of a trial — quantize the ideal decimated weights into
-each block mode's angular [low, high] range, score the quantized set
-against the ideal per-texel weights, combine with the per-mode best
-endpoint-format error, and keep the top-C candidate modes — runs as one
-kernel over a block tile.
+One kernel runs, per 128-block tile, everything between the per-texel
+ideal weights and the refinement rounds of a trial:
 
-Why: in the XLA formulation this stage materializes (N, M, W) quantized
-grids, (N, M, T) infills and several (N, M, ~21) format tables in HBM
-(hundreds of MB per trial pass at production batch sizes; the profiled
-dominant cost of the encoder, see astcenc_compress_symbolic.cpp:433-604 +
-astcenc_weight_align.cpp for the loops this replaces). Every one of those
-tensors is a pure function of a per-block (D, W) ideal-weight tile and a
-handful of static per-mode scalars, so the whole stage fits in VMEM.
+  1. ideal decimated weights for every used decimation mode (weighted
+     average + one gradient step; astcenc_ideal_endpoints_and_weights.cpp
+     :845-971),
+  2. angular range alignment [low, high] per (decimation, quant<=7)
+     actually referenced by a mode (astcenc_weight_align.cpp:94-355),
+  3. per-mode quantization of the decimated weights into the angular
+     range + weight-set error (astcenc_compress_symbolic.cpp:433-604),
+  4. per-mode endpoint-format/quant-level selection from the combined
+     color-error tables (astcenc_pick_best_endpoint_format.cpp),
+  5. top-C candidate selection (insertion sort, strict-< keeps earlier
+     modes ahead on ties = the reference's repeated-argmin order).
+
+Why: in the XLA formulation stages 1-3 materialize (N, D, W) ideal
+grids, (N, D, 8) angular ranges, (N, M, W) quantized grids and (N, M, T)
+infills in HBM — hundreds of MB per trial pass and the profiled dominant
+cost of the encoder. Every one of those tensors is a pure function of the
+per-block (T,) ideal weights/scales and static per-BSD tables, so the
+whole front-end fits in VMEM.
 
 Layout: feature-major with the block batch on the 128-lane axis, matching
-ops/refine_pallas.py. Per-mode metadata (decimation mode, quant level,
-unquant LUT, bit budget, quant_mode_table rows) is static at trace time —
-the mode loop is unrolled with constant-folded table lookups, the TPU
-analog of the reference's per-BSD packed block-mode array
-(astcenc_block_sizes.cpp:822-1012).
+ops/refine_pallas.py. Per-mode metadata is static at trace time — the
+mode loop is unrolled with constant-folded table lookups, and the
+decimation loop only visits decimations some mode actually uses. Angular
+steps are bounded by STEPS_FOR_QUANT_LEVEL[min(maxprec_d, QUANT_12)] <= 12
+(the XLA path computes 32 and masks), and angular levels are computed only
+for (d, q) pairs referenced by an angular-eligible mode.
 
-Selection: an insertion sort over the unrolled mode loop keeps the C best
-(total error, payload) per block, with strict-< updates so earlier modes
-win ties — reproducing the reference's repeated-argmin candidate order
-(astcenc_pick_best_endpoint_format.cpp:1286-1356).
+Numerics vs the XLA path (tolerance class, see tests/test_pallas.py):
+  - matmuls run at Precision.HIGHEST (TPU f32 dots otherwise round
+    operands to bf16 — measured 2e-4 rel error on one-hot selects);
+  - sincos sums use a rotation recurrence seeded by jnp.sin/cos instead
+    of the 64-bin histogram x table matmul (~1e-6 rel);
+  - atan2 is a Cephes-style polynomial (~1e-7 rad) instead of
+    jnp.arctan2. (The reference itself uses a 0.005-rad approximation,
+    astcenc_vecmathlib.h:289-306 — both are "exact" class against it.)
 
 Outputs (per candidate c, int32 rows at base c*stride where
 stride = 16 + Wp [+ Wp for 2-plane], Wp = W rounded up to 8):
@@ -46,11 +59,16 @@ from jax.experimental.pallas import tpu as pltpu
 from .gather_pallas import _interpret
 
 _BIG = 1e30               # ERROR_CALC_DEFAULT
+_HUGE = 3.4e38
 QUANT_6 = 4
 FMT_LUMINANCE = 0
+_PI = float(np.pi)
+_HIGHEST = jax.lax.Precision.HIGHEST
 
 _QUANT_LEVELS = (2, 3, 4, 5, 6, 8, 10, 12, 16, 20, 24, 32)
+_STEPS_FOR_QUANT = (2, 3, 4, 5, 6, 8, 10, 12, 16, 20, 24, 32)
 _IC_S = {1: 4, 2: 7, 3: 10, 4: 13}
+TUNE_MAX_ANGULAR_QUANT = 7
 
 
 def make_mode_meta(quant_m, dm_m, weight_bits, mode_index, free_bits: int,
@@ -106,21 +124,191 @@ def make_mode_meta(quant_m, dm_m, weight_bits, mode_index, free_bits: int,
     return tuple(recs)
 
 
-def _ms_kernel(di_ref, lo_ref, hi_ref, wei_ref, wes_ref, mcut_ref,
-               maxwq_ref, ce_ref, cf_ref, sfm_ref,
-               oint_ref, oerr_ref, *, modes: tuple, C: int, pc: int,
-               S: int, T: int, W: int, D: int, two: bool):
+def _atan2(y, x):
+    """Cephes-style atan2 on (rows, BT) f32 (max err ~1e-7 rad).
+
+    atan2(0, 0) = 0, matching the XLA path's NaN guard
+    (ops/angular.py::compute_angular_offsets).
+    """
     f32 = jnp.float32
-    BT = di_ref.shape[1]
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    swap = ay > ax
+    num = jnp.minimum(ax, ay)
+    den = jnp.maximum(ax, ay)
+    t = num / jnp.where(den == 0.0, f32(1.0), den)       # [0, 1]
+    red = t > f32(0.4142135623730951)                    # tan(pi/8)
+    z = jnp.where(red, (t - 1.0) / (t + 1.0), t)
+    z2 = z * z
+    p = f32(8.05374449538e-2)
+    p = p * z2 - f32(1.38776856032e-1)
+    p = p * z2 + f32(1.99777106478e-1)
+    p = p * z2 - f32(3.33329491539e-1)
+    r = p * z2 * z + z
+    r = jnp.where(red, r + f32(0.7853981633974483), r)
+    r = jnp.where(swap, f32(1.5707963267948966) - r, r)
+    r = jnp.where(x < 0.0, f32(_PI) - r, r)
+    return jnp.where(y < 0.0, -r, r)
+
+
+def _steps_row(maxwq, mprec_d: int):
+    """(1, BT) dynamic max quant steps for decimation d:
+    STEPS_FOR_QUANT_LEVEL[min(mprec_d, TUNE_MAX_ANGULAR_QUANT, maxwq)]."""
+    f32 = jnp.float32
+    cap = min(mprec_d, TUNE_MAX_ANGULAR_QUANT)
+    out = jnp.full(maxwq.shape, f32(_STEPS_FOR_QUANT[0]))
+    for l in range(1, cap + 1):
+        out = jnp.where(maxwq >= f32(l), f32(_STEPS_FOR_QUANT[l]), out)
+    return out
+
+
+def _plane_tables(wei, wes, maxwq, dit_ref, dsq_ref, sfm_ref, *,
+                  used: dict, wcounts: tuple, mprec: tuple,
+                  T: int, W: int, BT):
+    """Stages 1+2 for one plane: ideal decimated weights + angular ranges.
+
+    Args:
+      wei/wes: (T, BT) ideal per-texel weights / error scales.
+      used: {d: sorted set of quant levels needed} (static).
+      wcounts/mprec: static per-d weight counts / max precisions.
+
+    Returns ({d: (W, BT) di}, {(d, l): ((1,BT) lo, (1,BT) hi)}).
+    """
+    f32 = jnp.float32
+    x1 = wei * wes
+    di_out = {}
+    lohi = {}
+    for d, levels in used.items():
+        dit_d = dit_ref[d * W:(d + 1) * W, 0:T]          # (W, T)
+        dsq_d = dsq_ref[d * W:(d + 1) * W, 0:T]
+        sf_d = sfm_ref[d * T:(d + 1) * T, 0:W]           # (T, W)
+
+        def dot(a, b):
+            return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                       precision=_HIGHEST,
+                                       preferred_element_type=f32)
+
+        num = dot(dit_d, x1)
+        den = dot(dit_d, wes) + f32(1e-10)
+        initial = num / den                              # (W, BT)
+        infilled = dot(sf_d, initial)                    # (T, BT)
+        diff = (infilled - wei) * wes
+        ec0 = dot(dsq_d, wes) + f32(1e-10)
+        ec1 = dot(dit_d, diff)
+        step = jnp.clip((ec1 * f32(-16.0)) / ec0, -0.25, 0.25)
+        di_d = initial + step
+        di_out[d] = di_d
+        if not levels:
+            continue
+
+        wc = int(wcounts[d])
+        wvb = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0) < wc
+
+        mqs = _steps_row(maxwq, int(mprec[d]))           # (1, BT) f32
+        sm = _STEPS_FOR_QUANT[min(int(mprec[d]), TUNE_MAX_ANGULAR_QUANT)]
+
+        minw = jnp.min(jnp.where(wvb, di_d, f32(_HUGE)), axis=0,
+                       keepdims=True)
+        maxw = jnp.max(jnp.where(wvb, di_d, f32(-_HUGE)), axis=0,
+                       keepdims=True)
+
+        isample = jnp.floor(jnp.clip(di_d, 0.0, 1.0) * f32(63.0) + 0.5)
+        theta = isample * f32(2.0 * _PI / 63.0)
+        c1 = jnp.cos(theta)
+        s1 = jnp.sin(theta)
+
+        # Per angular step a=1..sm: offset, per-step error, cut errors,
+        # span, lowest index (all (1, BT)).
+        pa = []
+        c, s = c1, s1
+        for a in range(1, sm + 1):
+            if a > 1:
+                c, s = c * c1 - s * s1, s * c1 + c * s1
+            ax = jnp.sum(jnp.where(wvb, c, 0.0), axis=0, keepdims=True)
+            ay = jnp.sum(jnp.where(wvb, s, 0.0), axis=0, keepdims=True)
+            off = _atan2(ay, ax) * f32(1.0 / (2.0 * _PI))
+            fa = f32(float(a))
+            sval = di_d * fa - off
+            srte = jnp.round(sval)
+            dif = sval - srte
+            err = jnp.sum(jnp.where(wvb, dif * dif, 0.0), axis=0,
+                          keepdims=True)
+            minidx = jnp.round(minw * fa - off)
+            maxidx = jnp.round(maxw * fa - off)
+            cutlo = jnp.sum(
+                jnp.where(wvb & (srte == minidx), 1.0 - 2.0 * dif, 0.0),
+                axis=0, keepdims=True)
+            cuthi = jnp.sum(
+                jnp.where(wvb & (srte == maxidx), 1.0 + 2.0 * dif, 0.0),
+                axis=0, keepdims=True)
+            span = maxidx - minidx + 1.0
+            span = jnp.maximum(jnp.minimum(span, mqs + 3.0), 2.0)
+            esc = 1.0 / (float(a) * float(a))
+            ok = mqs >= f32(float(a))       # step index a-1 < max steps
+            big = f32(_BIG)
+            errv = jnp.where(ok, err * f32(esc), big)
+            elo = jnp.where(ok, (err + cutlo) * f32(esc), big)
+            ehi = jnp.where(ok, (err + cuthi) * f32(esc), big)
+            elh = jnp.where(ok, (err + cutlo + cuthi) * f32(esc), big)
+            pa.append((span, minidx, off, errv, elo, ehi, elh, 1.0 / fa))
+
+        for l in levels:
+            q = _STEPS_FOR_QUANT[l]
+            gbest = jnp.full((1, BT), f32(_HUGE))
+            glw = pa[0][1]
+            goff = pa[0][2]
+            gcut = jnp.zeros((1, BT), f32)
+            gstep = jnp.full((1, BT), f32(1.0))
+            for (span, minidx, off, errv, elo, ehi, elh, rstep) in pa:
+                # Reference visit order per step: plain@q, cutlow@q+1,
+                # cuthigh@q+1, cutlowhigh@q+2; strict-< keeps the
+                # earliest (astcenc_weight_align.cpp:310-338 analog).
+                for (cand, sp, cut) in ((errv, q, 0.0), (elo, q + 1, 1.0),
+                                        (ehi, q + 1, 0.0),
+                                        (elh, q + 2, 1.0)):
+                    v = jnp.where(span == f32(float(sp)), cand, f32(_BIG))
+                    upd = v < gbest
+                    gbest = jnp.where(upd, v, gbest)
+                    glw = jnp.where(upd, minidx, glw)
+                    goff = jnp.where(upd, off, goff)
+                    gcut = jnp.where(upd, f32(cut), gcut)
+                    gstep = jnp.where(upd, f32(rstep), gstep)
+            base = goff + glw + gcut
+            lohi[(d, l)] = (base * gstep, (base + f32(float(q - 1))) * gstep)
+    return di_out, lohi
+
+
+def _ms_kernel(wei_ref, wes_ref, mcut_ref, maxwq_ref, ce_ref, cf_ref,
+               sfm_ref, dit_ref, dsq_ref,
+               oint_ref, oerr_ref, *, modes: tuple, C: int, pc: int,
+               S: int, T: int, W: int, D: int, two: bool,
+               wcounts: tuple, mprec1: tuple, mprec2: tuple):
+    f32 = jnp.float32
+    BT = wei_ref.shape[1]
     wei = wei_ref[0:T, :]
     wes = wes_ref[0:T, :]
     mcut = mcut_ref[0:1, :]
     maxwq = maxwq_ref[0:1, :]
 
+    # Static {d: levels needed} from the mode set.
+    used = {}
+    for rec in modes:
+        d, q, ang_ok = rec[1], rec[2], rec[5]
+        lv = used.setdefault(d, set())
+        if ang_ok:
+            lv.add(q)
+    used = {d: sorted(v) for d, v in sorted(used.items())}
+
+    di1, lohi1 = _plane_tables(wei, wes, maxwq, dit_ref, dsq_ref, sfm_ref,
+                               used=used, wcounts=wcounts, mprec=mprec1,
+                               T=T, W=W, BT=BT)
     if two:
         wei2 = wei_ref[128:128 + T, :]
         wes2 = wes_ref[128:128 + T, :]
         mcut2 = mcut_ref[1:2, :]
+        di2, lohi2 = _plane_tables(wei2, wes2, maxwq, dit_ref, dsq_ref,
+                                   sfm_ref, used=used, wcounts=wcounts,
+                                   mprec=mprec2, T=T, W=W, BT=BT)
 
     # Running top-C state: value + payload rows.
     ninf = jnp.full((1, BT), f32(_BIG))
@@ -129,12 +317,10 @@ def _ms_kernel(di_ref, lo_ref, hi_ref, wei_ref, wes_ref, mcut_ref,
     npay = 6 + pc + W * (2 if two else 1)
     best_p = [[zero for _ in range(npay)] for _ in range(C)]
 
-    def quantize_plane(d, q, levels, unq, ang_ok, di_r, lo_r, hi_r, mc):
-        """One plane's quantize-into-range; returns (uq, uqf-infill parts)."""
-        di_d = di_r[d * W:(d + 1) * W, :]                    # (W, BT)
+    def quantize_plane(d, q, levels, unq, ang_ok, di_d, lohi, mc):
+        """One plane's quantize-into-range; returns (uq, low, rscale/64)."""
         if ang_ok:
-            low = lo_r[d * 8 + q:d * 8 + q + 1, :]
-            high = hi_r[d * 8 + q:d * 8 + q + 1, :]
+            low, high = lohi[(d, q)]
             high = jnp.where(high > 1.02 * mc, f32(1.0), high)
         else:
             low = zero
@@ -174,13 +360,11 @@ def _ms_kernel(di_ref, lo_ref, hi_ref, wei_ref, wes_ref, mcut_ref,
          nv_qlm) = rec
 
         uq1, low1, rs1 = quantize_plane(d, q, levels, unq, ang_ok,
-                                        di_ref, lo_ref, hi_ref, mcut)
+                                        di1[d], lohi1, mcut)
         qwt = plane_err(d, uq1, low1, rs1, wei, wes)
         if two:
-            uq2, low2, rs2 = quantize_plane(
-                d, q, levels, unq, ang_ok,
-                di_ref[D * W:, :], lo_ref[D * 8:, :], hi_ref[D * 8:, :],
-                mcut2)
+            uq2, low2, rs2 = quantize_plane(d, q, levels, unq, ang_ok,
+                                            di2[d], lohi2, mcut2)
             qwt = qwt + plane_err(d, uq2, low2, rs2, wei2, wes2)
 
         # Format chain: static rows of the combined color-error table.
@@ -251,17 +435,19 @@ def _ms_kernel(di_ref, lo_ref, hi_ref, wei_ref, wes_ref, mcut_ref,
     oerr_ref[:] = jnp.concatenate(best_v, axis=0)
 
 
-@functools.partial(jax.jit, static_argnums=(10, 11, 12, 13, 14, 15, 16))
-def _ms_call(diT, loT, hiT, weiT, wesT, mcutT, maxwqT, ceT, cfT, sfm,
+@functools.partial(jax.jit,
+                   static_argnums=(9, 10, 11, 12, 13, 14, 15, 16, 17, 18))
+def _ms_call(weiT, wesT, mcutT, maxwqT, ceT, cfT, sfm, dit, dsq,
              modes: tuple, C: int, pc: int, S: int, T: int, W: int,
-             D: int):
-    B = diT.shape[1]
+             D: int, wcounts: tuple, mprec1: tuple, mprec2: tuple):
+    B = weiT.shape[1]
     two = weiT.shape[0] > 128
     BT = 128
     kern = functools.partial(_ms_kernel, modes=modes, C=C, pc=pc, S=S,
-                             T=T, W=W, D=D, two=two)
-    const_spec = pl.BlockSpec(sfm.shape, lambda i: (0, 0),
-                              memory_space=pltpu.VMEM)
+                             T=T, W=W, D=D, two=two, wcounts=wcounts,
+                             mprec1=mprec1, mprec2=mprec2)
+    const = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)
     spec = lambda r: pl.BlockSpec((r, BT), lambda i: (0, i),
                                   memory_space=pltpu.VMEM)
     Wp = (W + 7) & ~7
@@ -271,11 +457,10 @@ def _ms_call(diT, loT, hiT, weiT, wesT, mcutT, maxwqT, ceT, cfT, sfm,
         out_shape=(jax.ShapeDtypeStruct((C * crows, B), jnp.int32),
                    jax.ShapeDtypeStruct((C, B), jnp.float32)),
         grid=(B // BT,),
-        in_specs=[spec(diT.shape[0]), spec(loT.shape[0]),
-                  spec(hiT.shape[0]), spec(weiT.shape[0]),
-                  spec(wesT.shape[0]), spec(mcutT.shape[0]),
-                  spec(maxwqT.shape[0]), spec(ceT.shape[0]),
-                  spec(cfT.shape[0]), const_spec],
+        in_specs=[spec(weiT.shape[0]), spec(wesT.shape[0]),
+                  spec(mcutT.shape[0]), spec(maxwqT.shape[0]),
+                  spec(ceT.shape[0]), spec(cfT.shape[0]),
+                  const(sfm), const(dit), const(dsq)],
         out_specs=(pl.BlockSpec((C * crows, BT), lambda i: (0, i),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((C, BT), lambda i: (0, i),
@@ -283,55 +468,51 @@ def _ms_call(diT, loT, hiT, weiT, wesT, mcutT, maxwqT, ceT, cfT, sfm,
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
-    )(diT, loT, hiT, weiT, wesT, mcutT, maxwqT, ceT, cfT, sfm)
+    )(weiT, wesT, mcutT, maxwqT, ceT, cfT, sfm, dit, dsq)
 
 
 class MsTables:
-    """Device-resident stencil master for one (BSD, decimation subset)."""
+    """Device-resident static tables for one (BSD, decimation subset)."""
 
-    def __init__(self, dec_f32_np):
+    def __init__(self, dec_int_np, dec_f32_np, dec_wcount_np,
+                 maxprec1_np, maxprec2_np=None):
         D, T, W = dec_f32_np.shape
         self.D, self.T, self.W = D, T, W
         self.sfm = jnp.asarray(dec_f32_np.reshape(D * T, W), jnp.float32)
+        ditT = np.transpose(dec_int_np, (0, 2, 1)).reshape(D * W, T)
+        self.dit = jnp.asarray(ditT, jnp.float32)
+        self.dsq = jnp.asarray(ditT * ditT, jnp.float32)
+        self.wcounts = tuple(int(v) for v in dec_wcount_np)
+        self.mprec1 = tuple(int(v) for v in maxprec1_np)
+        self.mprec2 = (tuple(int(v) for v in maxprec2_np)
+                       if maxprec2_np is not None else self.mprec1)
 
 
-def mode_search(tables: MsTables, dec_ideal, low_v, high_v, wei, wes,
-                mcut, maxwq, comb_err, comb_fmt, modes: tuple, C: int,
-                pc: int, dec_ideal2=None, low_v2=None, high_v2=None,
+def mode_search(tables: MsTables, wei, wes, mcut, maxwq, comb_err,
+                comb_fmt, modes: tuple, C: int, pc: int,
                 wei2=None, wes2=None, mcut2=None):
-    """Run the fused mode search; block-major in/out.
+    """Run the fused trial front-end; block-major in/out.
 
     Args:
-      dec_ideal: (N, D, W); low_v/high_v: (N, D, 8); wei/wes: (N, T);
+      wei/wes: (N, T) ideal per-texel weights / error scales;
       mcut/maxwq: (N,); comb_err: (N, 21, S) f32;
       comb_fmt: (N, 21, S, pc) int32; modes: make_mode_meta tuple.
-      *2 args: second plane (2-plane trials).
+      wei2/wes2/mcut2: second plane (2-plane trials).
 
     Returns dict of block-major candidate tensors:
       mode (N, C), dm (N, C), wq (N, C), valid (N, C) bool,
       cq (N, C), cqm (N, C), fmt (N, C, pc), uq (N, C, W)
       [+ uq2 (N, C, W)], err (N, C).
     """
-    N = dec_ideal.shape[0]
+    N = wei.shape[0]
     D, T, W = tables.D, tables.T, tables.W
     S = comb_err.shape[2]
-    two = dec_ideal2 is not None
+    two = wei2 is not None
 
     pad = (-N) % 128
     def padded(x):
         return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1)) \
             if pad else x
-
-    di = padded(dec_ideal).reshape(N + pad, D * W).T
-    lo = padded(low_v).reshape(N + pad, D * 8).T
-    hi = padded(high_v).reshape(N + pad, D * 8).T
-    if two:
-        di = jnp.concatenate(
-            [di, padded(dec_ideal2).reshape(N + pad, D * W).T], axis=0)
-        lo = jnp.concatenate(
-            [lo, padded(low_v2).reshape(N + pad, D * 8).T], axis=0)
-        hi = jnp.concatenate(
-            [hi, padded(high_v2).reshape(N + pad, D * 8).T], axis=0)
 
     def pack_t(a, b):
         out = jnp.zeros((N + pad, 256 if two else 128), jnp.float32)
@@ -352,8 +533,10 @@ def mode_search(tables: MsTables, dec_ideal, low_v, high_v, wei, wes,
     cfT = padded(comb_fmt).reshape(N + pad, 21 * S * pc).astype(
         jnp.float32).T
 
-    oint, oerr = _ms_call(di, lo, hi, weiT, wesT, mcutT, maxwqT, ceT, cfT,
-                          tables.sfm, modes, C, pc, S, T, W, D)
+    oint, oerr = _ms_call(weiT, wesT, mcutT, maxwqT, ceT, cfT,
+                          tables.sfm, tables.dit, tables.dsq,
+                          modes, C, pc, S, T, W, D, tables.wcounts,
+                          tables.mprec1, tables.mprec2)
     oint = oint[:, :N]
     oerr = oerr[:, :N]
     Wp = (W + 7) & ~7

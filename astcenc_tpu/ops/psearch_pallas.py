@@ -34,11 +34,18 @@ from .gather_pallas import _interpret
 
 
 def _psearch_kernel(pot_ref, tex_ref, ua_ref, out_u_ref, out_s_ref, *,
-                    T: int, P: int, wie: float, cw: tuple):
+                    T: int, P: int, wie: float, cw: tuple,
+                    has_asr: bool = False):
     pot = pot_ref[0]                               # (T, BT) int32
     BT = pot.shape[1]
     f32 = jnp.float32
     texp = [tex_ref[ch * 128:ch * 128 + T, :] for ch in range(4)]
+    if has_asr:
+        # Per-block alpha-scaled channel weights (USE_ALPHA_WEIGHT): the
+        # scale rides spare row 511 of the tex operand (T <= 125 < 128).
+        asr = tex_ref[511:512, :]
+        cw = (cw[0] * asr, cw[1] * asr, cw[2] * asr,
+              jnp.full_like(asr, f32(cw[3])))
     ua = ua_ref[:] != 0                            # (1, BT)
     cm = [jnp.ones((1, BT), f32) for _ in range(3)]
     cm.append(jnp.where(ua, 1.0, 0.0))             # alpha lane mask
@@ -147,12 +154,13 @@ def _psearch_kernel(pot_ref, tex_ref, ua_ref, out_u_ref, out_s_ref, *,
     out_s_ref[:] = (samec_err + s_extra)[None]
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
 def _psearch_call(potT, texT, ua, T: int, P: int, wie: float, cw: tuple,
-                  BT: int):
+                  BT: int, has_asr: bool = False):
     S = potT.shape[0]
     N = potT.shape[2]
-    kern = functools.partial(_psearch_kernel, T=T, P=P, wie=wie, cw=cw)
+    kern = functools.partial(_psearch_kernel, T=T, P=P, wie=wie, cw=cw,
+                             has_asr=has_asr)
     return pl.pallas_call(
         kern,
         out_shape=(jax.ShapeDtypeStruct((S, 1, N), jnp.float32),
@@ -175,7 +183,7 @@ def _psearch_call(potT, texT, ua, T: int, P: int, wie: float, cw: tuple,
 
 
 def line_errors(potS, tex_packed, uses_alpha, P: int, wie: float, cw,
-                BT: int = 128):
+                BT: int = 128, cw_scale=None):
     """Candidate line errors, kernel-fused.
 
     Args:
@@ -187,6 +195,8 @@ def line_errors(potS, tex_packed, uses_alpha, P: int, wie: float, cw,
     Returns (uncor (N, S) f32, samec (N, S) f32).
     """
     N, S, T = potS.shape
+    if cw_scale is not None:
+        tex_packed = tex_packed.at[:, 511].set(cw_scale.astype(jnp.float32))
     pad = (-N) % BT
     potT = jnp.transpose(potS, (1, 2, 0))          # (S, T, N)
     ua = uses_alpha.astype(jnp.int32)[None, :]     # (1, N)
@@ -197,5 +207,6 @@ def line_errors(potS, tex_packed, uses_alpha, P: int, wie: float, cw,
         ua = jnp.pad(ua, ((0, 0), (0, pad)))
         texT = jnp.pad(texT, ((0, 0), (0, pad)))
     u, s = _psearch_call(potT, texT, ua, T, P, float(wie),
-                         tuple(float(c) for c in cw), BT)
+                         tuple(float(c) for c in cw), BT,
+                         cw_scale is not None)
     return u[:, 0, :N].T, s[:, 0, :N].T

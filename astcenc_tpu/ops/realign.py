@@ -46,7 +46,9 @@ def realign_undecimated(weights, texels, pmask, ep0i, ep1i, channel_weight,
 
     Returns: (new_weights (N, T) int32, adjusted (N,) bool).
     """
-    cw = jnp.array(channel_weight, jnp.float32)
+    cw = jnp.asarray(channel_weight, jnp.float32)
+    if cw.ndim == 2:
+        cw = cw[:, None, :]   # per-block (USE_ALPHA_WEIGHT)
     pn = jnp.asarray(prev_next)
 
     epd = (ep1i - ep0i).astype(jnp.float32)
@@ -97,7 +99,9 @@ def realign_decimated(dec_weights, texels, pmask, ep0i, ep1i, channel_weight,
 
     Returns: (new_weights (N, W) int32, adjusted (N,) bool).
     """
-    cw = jnp.array(channel_weight, jnp.float32)
+    cw = jnp.asarray(channel_weight, jnp.float32)
+    if cw.ndim == 2:
+        cw = cw[:, None, :]   # per-block (USE_ALPHA_WEIGHT)
     pn = jnp.asarray(prev_next)
 
     epd = (ep1i - ep0i).astype(jnp.float32)
@@ -182,7 +186,9 @@ def realign_decimated_grouped(dec_weights, texels, pmask, ep0i, ep1i,
 
     Returns: (new_weights (N, W) int32, adjusted (N,) bool).
     """
-    cw = jnp.array(channel_weight, jnp.float32)
+    cw = jnp.asarray(channel_weight, jnp.float32)
+    if cw.ndim == 2:
+        cw = cw[:, None, :]   # per-block (USE_ALPHA_WEIGHT)
     pn = jnp.asarray(prev_next)
 
     if ep_t is not None:

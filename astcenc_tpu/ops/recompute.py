@@ -27,9 +27,16 @@ def recompute_ideal_colors_1plane(texels, pmask, counts, undec_weights,
 
     Returns dict: ep0, ep1 (N, P, 4); rgbs (N, P, 4); rgbo (N, P, 4).
     """
-    cw = jnp.array(channel_weight, jnp.float32)
-    ls_weight = float(channel_weight[0] + channel_weight[1]
-                      + channel_weight[2])
+    cwj = jnp.asarray(channel_weight, jnp.float32)
+    if cwj.ndim == 2:
+        # Per-block channel weights (USE_ALPHA_WEIGHT): broadcast over the
+        # partition axis.
+        cw = cwj[:, None, :]                                 # (N, 1, 4)
+        ls_weight = jnp.sum(cwj[:, :3], axis=-1)[:, None]    # (N, 1)
+    else:
+        cw = cwj
+        ls_weight = float(channel_weight[0] + channel_weight[1]
+                          + channel_weight[2])
 
     idx = undec_weights                      # (N, T)
     om = 1.0 - idx
@@ -37,7 +44,9 @@ def recompute_ideal_colors_1plane(texels, pmask, counts, undec_weights,
     rgba_sum = jnp.einsum("ntp,ntc->npc", pmask, texels)  # per-partition sums
     rgba_sum = rgba_sum * cw
     tc = counts.astype(jnp.float32)
-    rgba_weight_sum = jnp.maximum(cw[None, None, :] * tc[..., None], 1e-17)
+    rgba_weight_sum = jnp.maximum(cw * tc[..., None]
+                                  if cwj.ndim == 2 else
+                                  cw[None, None, :] * tc[..., None], 1e-17)
 
     mean_rgb = (rgba_sum / rgba_weight_sum)[..., :3]
     norm = jnp.sqrt(jnp.sum(mean_rgb * mean_rgb, axis=-1, keepdims=True))
@@ -153,14 +162,18 @@ def recompute_ideal_colors_2planes(texels, undec_w1, undec_w2, p2c,
 
     Returns dict: ep0, ep1 (N, 4); rgbs (N, 4); rgbo (N, 4).
     """
-    cw = jnp.array(channel_weight, jnp.float32)
-    ls_weight = float(channel_weight[0] + channel_weight[1]
-                      + channel_weight[2])
+    cw = jnp.asarray(channel_weight, jnp.float32)
+    if cw.ndim == 2:
+        ls_weight = jnp.sum(cw[:, :3], axis=-1)              # (N,)
+    else:
+        ls_weight = float(channel_weight[0] + channel_weight[1]
+                          + channel_weight[2])
     N, T, _ = texels.shape
     lane = jnp.arange(4)
     p2_mask = lane[None, :] == p2c[:, None]          # (N, 4)
 
-    rgba_weight_sum = jnp.maximum(cw[None, :] * T, 1e-17)
+    rgba_weight_sum = jnp.maximum(
+        (cw if cw.ndim == 2 else cw[None, :]) * T, 1e-17)
     mean_rgb = data_mean[..., :3]
     norm = jnp.sqrt(jnp.sum(mean_rgb * mean_rgb, -1, keepdims=True))
     scale_dir = mean_rgb / jnp.where(norm > 0, norm, 1.0)
@@ -250,7 +263,7 @@ def recompute_ideal_colors_2planes(texels, undec_w1, undec_w2, p2c,
     if is_hdr:
         wws = www * cw
         rsel = jnp.where(p2_mask, r2[:, None], r1[:, None])
-        psum = jnp.sum(rsel[..., :3] * cw[:3], -1)
+        psum = jnp.sum(rsel[..., :3] * cw[..., :3], -1)
         rgbq = cvx + cvy
         rgbq = rgbq.at[..., 3].set(jnp.sum(cvy[..., :3], -1))
         rgbo = _compute_rgbo(rgba_weight_sum * jnp.ones((N, 1)), wws, rgbq,

@@ -54,7 +54,8 @@ _BIG = 1e30                        # ERROR_CALC_DEFAULT
 
 def _refine_kernel(meta_ref, tex_ref, si_ref, sf_ref, dmc_ref, pn_ref,
                    oint_ref, of32_ref, *, T: int, W: int, D: int,
-                   ncolors: int, u8_mask: bool, cw: tuple):
+                   ncolors: int, u8_mask: bool, cw: tuple,
+                   has_asr: bool = False):
     meta = meta_ref[:]                             # (384, BT) int32
     BT = meta.shape[1]
     w64 = meta[0:W, :].astype(jnp.float32)         # (W, BT) weight grid
@@ -90,6 +91,12 @@ def _refine_kernel(meta_ref, tex_ref, si_ref, sf_ref, dmc_ref, pn_ref,
         ep1t.append(a1)
 
     texp = [tex_ref[ch * 128:ch * 128 + T, :] for ch in range(4)]
+    if has_asr:
+        # Per-block alpha-scaled channel weights (USE_ALPHA_WEIGHT): the
+        # scale rides spare row 511 of the tex operand (T <= 125 < 128).
+        asr = tex_ref[511:512, :]
+        cw = (cw[0] * asr, cw[1] * asr, cw[2] * asr,
+              jnp.full_like(asr, jnp.float32(cw[3])))
 
     def trial_err(wgrid_f):
         s = jnp.sum(srow_i * wgrid_f[None, :, :], axis=1)      # (T, BT)
@@ -210,7 +217,7 @@ def _trial1_full_kernel(meta_ref, fmeta_ref, tex_ref, si_ref, sf_ref,
                         dmc_ref, pn_ref, lo_ref, hi_ref,
                         oint_ref, of32_ref, *, T: int, W: int, D: int,
                         ncolors: int, u8_mask: bool, cw: tuple, R: int,
-                        pc: int, profile: int):
+                        pc: int, profile: int, has_asr: bool = False):
     """All R refinement rounds of a 1-plane trial in one kernel: infill ->
     least-squares endpoint refit -> LDR color pack -> decode -> trial
     errors + parity-class realign, with every intermediate in VMEM.
@@ -245,6 +252,12 @@ def _trial1_full_kernel(meta_ref, fmeta_ref, tex_ref, si_ref, sf_ref,
                      preferred_element_type=f32).reshape(T, W, BT)
     srow_inc = (srow_i != 0.0).astype(f32)
     texp = [tex_ref[ch * 128:ch * 128 + T, :] for ch in range(4)]
+    if has_asr:
+        # Per-block alpha-scaled channel weights (USE_ALPHA_WEIGHT): the
+        # scale rides spare row 511 of the tex operand (T <= 125 < 128).
+        asr = tex_ref[511:512, :]
+        cw = (cw[0] * asr, cw[1] * asr, cw[2] * asr,
+              jnp.full_like(asr, jnp.float32(cw[3])))
 
     qidx = jnp.clip(cq - ise.QUANT_6, 0, 16)
     lut = _make_lut(qidx, lo_ref, hi_ref)
@@ -425,14 +438,16 @@ def _trial1_full_kernel(meta_ref, fmeta_ref, tex_ref, si_ref, sf_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnums=(9, 10, 11, 12, 13, 14, 15, 16, 17, 18))
+                   static_argnums=(9, 10, 11, 12, 13, 14, 15, 16, 17, 18,
+                                   19))
 def _trial1_full_call(metaT, fmetaT, texT, si, sf, dmc, pn, lo, hi,
                       T: int, W: int, D: int, ncolors: int, u8_mask: bool,
-                      cw: tuple, R: int, pc: int, profile: int, BT: int):
+                      cw: tuple, R: int, pc: int, profile: int, BT: int,
+                      has_asr: bool = False):
     B = metaT.shape[1]
     kern = functools.partial(_trial1_full_kernel, T=T, W=W, D=D,
                              ncolors=ncolors, u8_mask=u8_mask, cw=cw,
-                             R=R, pc=pc, profile=profile)
+                             R=R, pc=pc, profile=profile, has_asr=has_asr)
     const_spec = lambda shape: pl.BlockSpec(
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -466,7 +481,7 @@ def _trial1_full_call(metaT, fmetaT, texT, si, sf, dmc, pn, lo, hi,
 
 def trial1_refine_full(tables: RefineTables, meta, fmeta, tex,
                        ncolors: int, u8_mask: bool, cw, R: int, pc: int,
-                       profile: int, BT: int = 128):
+                       profile: int, BT: int = 128, cw_scale=None):
     """Run the full R-round 1-plane refinement in one fused kernel.
 
     Args:
@@ -478,6 +493,8 @@ def trial1_refine_full(tables: RefineTables, meta, fmeta, tex,
     err_post (R, B)) — already alive-masked errors.
     """
     B = meta.shape[0]
+    if cw_scale is not None:
+        tex = tex.at[:, 511].set(cw_scale.astype(jnp.float32))
     pad = (-B) % BT
     if pad:
         meta = jnp.pad(meta, ((0, pad), (0, 0)))
@@ -486,7 +503,8 @@ def trial1_refine_full(tables: RefineTables, meta, fmeta, tex,
     oint, of32 = _trial1_full_call(
         meta.T, fmeta.T, tex.T, tables.si, tables.sf, tables.dmc,
         tables.pn, tables.lo, tables.hi, tables.T, tables.W, tables.D,
-        ncolors, u8_mask, tuple(float(c) for c in cw), R, pc, profile, BT)
+        ncolors, u8_mask, tuple(float(c) for c in cw), R, pc, profile, BT,
+        cw_scale is not None)
     oint = oint[:, :B]
     of32 = of32[:, :B]
     W = tables.W
@@ -511,7 +529,7 @@ def _trial2_full_kernel(meta_ref, fmeta_ref, tex_ref, si_ref, sf_ref,
                         dmc_ref, pn_ref, lo_ref, hi_ref,
                         oint_ref, of32_ref, *, T: int, W: int, D: int,
                         ncolors: int, u8_mask: bool, cw: tuple, R: int,
-                        profile: int):
+                        profile: int, has_asr: bool = False):
     """All R refinement rounds of a 2-plane single-partition trial in one
     kernel (see _trial1_full_kernel). meta rows: [0:W wg1 | 64 dec-mode |
     65 weight-quant | 66 alive | 67 cq | 68 fmt_req | 69 p2c |
@@ -541,6 +559,12 @@ def _trial2_full_kernel(meta_ref, fmeta_ref, tex_ref, si_ref, sf_ref,
                      preferred_element_type=f32).reshape(T, W, BT)
     srow_inc = (srow_i != 0.0).astype(f32)
     texp = [tex_ref[ch * 128:ch * 128 + T, :] for ch in range(4)]
+    if has_asr:
+        # Per-block alpha-scaled channel weights (USE_ALPHA_WEIGHT): the
+        # scale rides spare row 511 of the tex operand (T <= 125 < 128).
+        asr = tex_ref[511:512, :]
+        cw = (cw[0] * asr, cw[1] * asr, cw[2] * asr,
+              jnp.full_like(asr, jnp.float32(cw[3])))
     is_p2 = [p2c == ch for ch in range(4)]
 
     qidx = jnp.clip(cq - ise.QUANT_6, 0, 16)
@@ -559,14 +583,15 @@ def _trial2_full_kernel(meta_ref, fmeta_ref, tex_ref, si_ref, sf_ref,
     ep1_c = [fmeta[4 + ch:5 + ch, :] for ch in range(4)]
     mean3 = [fmeta[8 + ch:9 + ch, :] for ch in range(3)]
 
-    ls_weight = float(cw[0] + cw[1] + cw[2])
+    ls_weight = cw[0] + cw[1] + cw[2]
     norm = jnp.sqrt(mean3[0] ** 2 + mean3[1] ** 2 + mean3[2] ** 2)
     nsafe = jnp.where(norm > 0, norm, 1.0)
     sd = [mean3[ch] / nsafe for ch in range(3)]
     scal = sd[0] * texp[0] + sd[1] * texp[1] + sd[2] * texp[2]
     scale_min = jnp.min(scal, axis=0, keepdims=True)
     scale_max = jnp.max(scal, axis=0, keepdims=True)
-    rws = [max(float(c) * T, 1e-17) for c in cw]
+    rws = ([jnp.maximum(c * f32(T), f32(1e-17)) for c in cw]
+           if has_asr else [max(float(c) * T, 1e-17) for c in cw])
 
     def infill_of(wg):
         s = jnp.sum(srow_i * wg[None, :, :], axis=1)
@@ -786,14 +811,15 @@ def _trial2_full_kernel(meta_ref, fmeta_ref, tex_ref, si_ref, sf_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnums=(9, 10, 11, 12, 13, 14, 15, 16, 17))
+                   static_argnums=(9, 10, 11, 12, 13, 14, 15, 16, 17, 18))
 def _trial2_full_call(metaT, fmetaT, texT, si, sf, dmc, pn, lo, hi,
                       T: int, W: int, D: int, ncolors: int, u8_mask: bool,
-                      cw: tuple, R: int, profile: int, BT: int):
+                      cw: tuple, R: int, profile: int, BT: int,
+                      has_asr: bool = False):
     B = metaT.shape[1]
     kern = functools.partial(_trial2_full_kernel, T=T, W=W, D=D,
                              ncolors=ncolors, u8_mask=u8_mask, cw=cw,
-                             R=R, profile=profile)
+                             R=R, profile=profile, has_asr=has_asr)
     const_spec = lambda shape: pl.BlockSpec(
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -827,13 +853,15 @@ def _trial2_full_call(metaT, fmetaT, texT, si, sf, dmc, pn, lo, hi,
 
 def trial2_refine_full(tables: RefineTables, meta, fmeta, tex,
                        ncolors: int, u8_mask: bool, cw, R: int,
-                       profile: int, BT: int = 128):
+                       profile: int, BT: int = 128, cw_scale=None):
     """Full R-round 2-plane refinement in one fused kernel.
 
     Returns (fmt (R, B), vals (R, B, 8), wg1 (R, B, W), wg2 (R, B, W),
     err_pre (B,), err_post (R, B)) — errors alive-masked.
     """
     B = meta.shape[0]
+    if cw_scale is not None:
+        tex = tex.at[:, 511].set(cw_scale.astype(jnp.float32))
     pad = (-B) % BT
     if pad:
         meta = jnp.pad(meta, ((0, pad), (0, 0)))
@@ -842,7 +870,8 @@ def trial2_refine_full(tables: RefineTables, meta, fmeta, tex,
     oint, of32 = _trial2_full_call(
         meta.T, fmeta.T, tex.T, tables.si, tables.sf, tables.dmc,
         tables.pn, tables.lo, tables.hi, tables.T, tables.W, tables.D,
-        ncolors, u8_mask, tuple(float(c) for c in cw), R, profile, BT)
+        ncolors, u8_mask, tuple(float(c) for c in cw), R, profile, BT,
+        cw_scale is not None)
     oint = oint[:, :B]
     of32 = of32[:, :B]
     W = tables.W
@@ -892,7 +921,8 @@ def pack_meta_full(wgrid, d_idx, wq, alive, cq, cqm, fmt_req, pot, T: int):
 
 def _refine2_kernel(meta_ref, tex_ref, si_ref, sf_ref, dmc_ref, pn_ref,
                     oint_ref, of32_ref, *, T: int, W: int, D: int,
-                    ncolors: int, u8_mask: bool, cw: tuple):
+                    ncolors: int, u8_mask: bool, cw: tuple,
+                    has_asr: bool = False):
     """Two-plane single-partition variant: meta rows 0:W = plane-1 grid,
     256:256+W = plane-2 grid, row 67 = plane-2 component; both planes
     realign against the same stencil (reference realign_weights_decimated
@@ -917,6 +947,12 @@ def _refine2_kernel(meta_ref, tex_ref, si_ref, sf_ref, dmc_ref, pn_ref,
     ep0s = [meta[128 + ch:129 + ch, :].astype(f32) for ch in range(4)]
     ep1s = [meta[144 + ch:145 + ch, :].astype(f32) for ch in range(4)]
     texp = [tex_ref[ch * 128:ch * 128 + T, :] for ch in range(4)]
+    if has_asr:
+        # Per-block alpha-scaled channel weights (USE_ALPHA_WEIGHT): the
+        # scale rides spare row 511 of the tex operand (T <= 125 < 128).
+        asr = tex_ref[511:512, :]
+        cw = (cw[0] * asr, cw[1] * asr, cw[2] * asr,
+              jnp.full_like(asr, jnp.float32(cw[3])))
     is_p2 = [p2c == ch for ch in range(4)]         # (1, BT) each
 
     def infill_of(wg):
@@ -1034,7 +1070,8 @@ def _refine2_kernel(meta_ref, tex_ref, si_ref, sf_ref, dmc_ref, pn_ref,
 
 def _refine2_boot_kernel(meta_ref, tex_ref, si_ref, sf_ref, dmc_ref, pn_ref,
                          oint_ref, of32_ref, *, T: int, W: int, D: int,
-                         ncolors: int, u8_mask: bool, cw: tuple):
+                         ncolors: int, u8_mask: bool, cw: tuple,
+                         has_asr: bool = False):
     """Bootstrap: infills of both incoming grids only."""
     meta = meta_ref[:]
     BT = meta.shape[1]
@@ -1054,14 +1091,15 @@ def _refine2_boot_kernel(meta_ref, tex_ref, si_ref, sf_ref, dmc_ref, pn_ref,
          u2, jnp.zeros((128 - T, BT), f32)], axis=0)
 
 
-@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9, 10, 11, 12, 13))
+@functools.partial(jax.jit,
+                   static_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14))
 def _refine2_call(metaT, texT, si, sf, dmc, pn,
                   T: int, W: int, D: int, ncolors: int, u8_mask: bool,
-                  cw: tuple, BT: int, boot: bool):
+                  cw: tuple, BT: int, boot: bool, has_asr: bool = False):
     B = metaT.shape[1]
     body = _refine2_boot_kernel if boot else _refine2_kernel
     kern = functools.partial(body, T=T, W=W, D=D, ncolors=ncolors,
-                             u8_mask=u8_mask, cw=cw)
+                             u8_mask=u8_mask, cw=cw, has_asr=has_asr)
     const_spec = lambda shape: pl.BlockSpec(
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -1103,13 +1141,15 @@ def pack_meta_2plane(wg1, wg2, d_idx, wq, alive, p2c, ep0, ep1):
 
 
 def refine_round_2plane(tables: RefineTables, meta, tex, ncolors: int,
-                        u8_mask: bool, cw, BT: int = 128):
+                        u8_mask: bool, cw, BT: int = 128, cw_scale=None):
     """One fused 2-plane refine round (ncolors=0 -> bootstrap infill only).
 
     Returns (nw1 (B, W) i32, nw2 (B, W) i32, adjusted (B,) bool,
     u1 (B, T) f32, u2 (B, T) f32, err_pre (B,), err_post (B,)).
     """
     B = meta.shape[0]
+    if cw_scale is not None:
+        tex = tex.at[:, 511].set(cw_scale.astype(jnp.float32))
     pad = (-B) % BT
     if pad:
         meta = jnp.pad(meta, ((0, pad), (0, 0)))
@@ -1118,7 +1158,7 @@ def refine_round_2plane(tables: RefineTables, meta, tex, ncolors: int,
                                tables.dmc, tables.pn, tables.T, tables.W,
                                tables.D, ncolors, u8_mask,
                                tuple(float(c) for c in cw), BT,
-                               ncolors == 0)
+                               ncolors == 0, cw_scale is not None)
     oint = oint[:, :B]
     of32 = of32[:, :B]
     W, T = tables.W, tables.T
@@ -1127,13 +1167,14 @@ def refine_round_2plane(tables: RefineTables, meta, tex, ncolors: int,
             of32[254, :], of32[255, :])
 
 
-@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9, 10, 11, 12))
+@functools.partial(jax.jit,
+                   static_argnums=(6, 7, 8, 9, 10, 11, 12, 13))
 def _refine_call(metaT, texT, si, sf, dmc, pn,
                  T: int, W: int, D: int, ncolors: int, u8_mask: bool,
-                 cw: tuple, BT: int):
+                 cw: tuple, BT: int, has_asr: bool = False):
     B = metaT.shape[1]
     kern = functools.partial(_refine_kernel, T=T, W=W, D=D, ncolors=ncolors,
-                             u8_mask=u8_mask, cw=cw)
+                             u8_mask=u8_mask, cw=cw, has_asr=has_asr)
     const_spec = lambda shape: pl.BlockSpec(
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -1165,7 +1206,7 @@ def _recompute_1plane_rows(texp, pot, undec, cw, ep0_prev, ep1_prev,
     ep0_prev/ep1_prev: [p][ch] -> (1, BT). Returns (ep0, ep1, rgbs) in the
     same nested-rows form."""
     f32 = jnp.float32
-    ls_weight = float(cw[0] + cw[1] + cw[2])
+    ls_weight = cw[0] + cw[1] + cw[2]
     idx = undec
     om = 1.0 - idx
     big = 1e10
@@ -1364,7 +1405,7 @@ def pack_tex(texels):
 
 
 def refine_round_1plane(tables: RefineTables, meta, tex, ncolors: int,
-                        u8_mask: bool, cw, BT: int = 128):
+                        u8_mask: bool, cw, BT: int = 128, cw_scale=None):
     """Run one fused refine round.
 
     Args:
@@ -1374,6 +1415,8 @@ def refine_round_1plane(tables: RefineTables, meta, tex, ncolors: int,
     err_pre (B,), err_post (B,)).
     """
     B = meta.shape[0]
+    if cw_scale is not None:
+        tex = tex.at[:, 511].set(cw_scale.astype(jnp.float32))
     pad = (-B) % BT
     if pad:
         meta = jnp.pad(meta, ((0, pad), (0, 0)))
@@ -1381,7 +1424,8 @@ def refine_round_1plane(tables: RefineTables, meta, tex, ncolors: int,
     oint, of32 = _refine_call(meta.T, tex.T, tables.si, tables.sf,
                               tables.dmc, tables.pn, tables.T, tables.W,
                               tables.D, ncolors, u8_mask,
-                              tuple(float(c) for c in cw), BT)
+                              tuple(float(c) for c in cw), BT,
+                              cw_scale is not None)
     oint = oint[:, :B]
     of32 = of32[:, :B]
     return (oint[0:tables.W, :].T, oint[64, :] != 0, of32[0:tables.T, :].T,

@@ -252,9 +252,6 @@ def _encoding_error_rows(c0, c1, u0, u1):
     return acc
 
 
-_NUDGE_STEPS = 32
-
-
 def pack_ldr_rows(ep0, ep1, rgbs, req_fmt, qidx, lut):
     """Rows form of pack_color_endpoints_ldr.
 
@@ -306,12 +303,6 @@ def pack_ldr_rows(ep0, ep1, rgbs, req_fmt, qidx, lut):
     rtn_b1 = [_rtn(c) for c in b1]
     lb.req("bc_c0", rtn_b0)
     lb.req("bc_c1", rtn_b1)
-    # quantize_rgb nudge: the 32 0.2-steps only touch 8 consecutive ints
-    lb.req("n0", [rtn_c0[ch] - j for ch in range(4) for j in range(8)])
-    lb.req("n1", [rtn_c1[ch] + j for ch in range(4) for j in range(8)])
-    avgf = [(c0[i] + c1[i]) * 0.5 for i in range(4)]
-    avg_v = [jnp.clip(_rtn(a), 0, 255) for a in avgf]
-    lb.req("n_avg", avg_v)
     # alpha deltas (both argument orders)
     lb.req("ad01_a0b", [(rtn_a0 << 1) & 0xFF])
     lb.req("ad10_a0b", [(rtn_a1 << 1) & 0xFF])
@@ -410,55 +401,47 @@ def pack_ldr_rows(ep0, ep1, rgbs, req_fmt, qidx, lut):
     ok_bc = ok_bc & (_sum3(c1i_bc) > _sum3(c0i_bc))
     e0_bc, e1_bc = c1i_bc, c0i_bc
 
-    # quantize_rgb nudge selection: all 32 0.2-steps evaluated, first step
-    # with an ordered quantized sum wins (see color_pack._quantize_rgb).
-    # A fori_loop keeps the traced program small for the in-kernel path.
-    zero = jnp.zeros_like(rtn_a0)
+    # quantize_rgb nudge: exact masked while-loop mirroring the reference
+    # do-while with ACCUMULATED 0.2 nudges (astcenc_color_quantize.cpp:
+    # 169-192) — bit-identical to color_pack._quantize_rgb. Each iteration
+    # resolves 8 dynamic quantizer lookups against the in-VMEM LUT rows;
+    # typical inputs are already ordered so the body runs at most once.
+    def _nudge_quant(c0v, c1v):
+        c0qi = [jnp.maximum(_rtn(c0v[i]), 0) for i in range(4)]
+        c1qi = [jnp.minimum(_rtn(c1v[i]), 255) for i in range(4)]
+        lo, hi = lut(c0qi + c1qi)
+        c0i = [jnp.where((c0v[i] - c0qi[i].astype(f32)) >= -0.1,
+                         hi[i], lo[i]) for i in range(4)]
+        c1i = [jnp.where((c1v[i] - c1qi[i].astype(f32)) >= -0.1,
+                         hi[4 + i], lo[4 + i]) for i in range(4)]
+        return c0i, c1i
 
-    def nudge_body(k, carry):
-        c0_sel, c1_sel, taken = carry
-        kf = k.astype(f32)
-        c0i = []
-        c1i = []
-        for i in range(4):
-            c0k = c0[i] - 0.2 * kf
-            c1k = c1[i] + 0.2 * kf
-            c0q = jnp.maximum(_rtn(c0k), 0)
-            c1q = jnp.minimum(_rtn(c1k), 255)
-            j0 = jnp.clip(rtn_c0[i] - c0q, 0, 7)
-            j1 = jnp.clip(c1q - rtn_c1[i], 0, 7)
-            lo0 = hi0 = lo1 = hi1v = None
-            for j in range(8):
-                m0 = j0 == j
-                m1 = j1 == j
-                l0j = lb.lo("n0", i * 8 + j)
-                h0j = lb.hi("n0", i * 8 + j)
-                l1j = lb.lo("n1", i * 8 + j)
-                h1j = lb.hi("n1", i * 8 + j)
-                lo0 = jnp.where(m0, l0j, 0) if lo0 is None else \
-                    jnp.where(m0, l0j, lo0)
-                hi0 = jnp.where(m0, h0j, 0) if hi0 is None else \
-                    jnp.where(m0, h0j, hi0)
-                lo1 = jnp.where(m1, l1j, 0) if lo1 is None else \
-                    jnp.where(m1, l1j, lo1)
-                hi1v = jnp.where(m1, h1j, 0) if hi1v is None else \
-                    jnp.where(m1, h1j, hi1v)
-            c0i.append(jnp.where((c0k - c0q.astype(f32)) >= -0.1, hi0, lo0))
-            c1i.append(jnp.where((c1k - c1q.astype(f32)) >= -0.1,
-                                 hi1v, lo1))
-        ok_n = (_sum3(c0i) <= _sum3(c1i)).astype(jnp.int32)
-        first = (ok_n & (1 - taken)) != 0
-        c0_sel = [jnp.where(first, c0i[i], c0_sel[i]) for i in range(4)]
-        c1_sel = [jnp.where(first, c1i[i], c1_sel[i]) for i in range(4)]
-        return c0_sel, c1_sel, taken | ok_n
+    c0i0, c1i0 = _nudge_quant(c0, c1)
+    done0 = (_sum3(c0i0) <= _sum3(c1i0))
 
-    c0_sel, c1_sel, any_i = jax.lax.fori_loop(
-        0, _NUDGE_STEPS, nudge_body,
-        ([zero] * 4, [zero] * 4, jnp.zeros_like(rtn_a0)))
-    any_n = any_i != 0
-    avg_i = [lb.pick("n_avg", i, avg_v[i], avgf[i]) for i in range(4)]
-    e0q = [jnp.where(any_n, c0_sel[i], avg_i[i]) for i in range(4)]
-    e1q = [jnp.where(any_n, c1_sel[i], avg_i[i]) for i in range(4)]
+    def nudge_cond(carry):
+        return ~jnp.all(carry[0])
+
+    def nudge_body(carry):
+        done, it = carry[0], carry[1]
+        c0v = list(carry[2:6])
+        c1v = list(carry[6:10])
+        o0 = list(carry[10:14])
+        o1 = list(carry[14:18])
+        c0n = [jnp.where(done, c0v[i], c0v[i] - f32(0.2)) for i in range(4)]
+        c1n = [jnp.where(done, c1v[i], c1v[i] + f32(0.2)) for i in range(4)]
+        c0i, c1i = _nudge_quant(c0n, c1n)
+        ok = (_sum3(c0i) <= _sum3(c1i)) | (it >= 2048)
+        newly = ok & ~done
+        o0 = [jnp.where(newly, c0i[i], o0[i]) for i in range(4)]
+        o1 = [jnp.where(newly, c1i[i], o1[i]) for i in range(4)]
+        return tuple([done | ok, it + 1] + c0n + c1n + o0 + o1)
+
+    init = tuple([done0, jnp.zeros_like(rtn_a0)] + list(c0) + list(c1)
+                 + c0i0 + c1i0)
+    fin = jax.lax.while_loop(nudge_cond, nudge_body, init)
+    e0q = list(fin[10:14])
+    e1q = list(fin[14:18])
 
     a0q = lb.pick("res_a0", 0, rtn_a0, a0f)
     a1q = lb.pick("res_a1", 0, rtn_a1, a1f)

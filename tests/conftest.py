@@ -37,8 +37,22 @@ if not os.environ.get("ASTC_TPU_TEST_REAL"):
     # too late. Updating the config works until a backend is initialized.
     jax.config.update("jax_platforms", "cpu")
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# Persistent compilation cache on CPU: jax 0.9.0's XLA:CPU AOT
+# deserialization has segfaulted on this host inside long-lived
+# many-executable pytest processes (SIGSEGV in
+# compilation_cache.get_executable_and_time after cpu_aot_loader
+# feature-mismatch warnings). Default is therefore OFF for plain pytest
+# runs; tools/run_suite.sh opts back in per test file via
+# ASTC_FORCE_CPU_CACHE, where a crash is isolated and attributable.
+_force = os.environ.get("ASTC_FORCE_CPU_CACHE")
+if _force:
+    jax.config.update("jax_compilation_cache_dir", _force)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+elif not os.environ.get("ASTC_TPU_TEST_REAL"):
+    jax.config.update("jax_compilation_cache_dir", None)
+else:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import pytest  # noqa: E402
 
