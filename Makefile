@@ -1,0 +1,49 @@
+# Gate targets for astcenc-tpu.
+#
+# `make gate` is the full release gate (VERDICT r1 item 10): it builds the
+# reference oracle, runs the complete suite INCLUDING the slow golden
+# reference cross-checks, and fails if any golden gate was skipped —
+# "passed" can never mean "skipped" here.
+
+REF      ?= /root/reference
+REFBUILD ?= /tmp/refbuild
+PY       ?= python
+
+.PHONY: test gate oracle native bench quality
+
+test:
+	$(PY) -m pytest tests/ -q
+
+oracle:
+	@test -x $(REFBUILD)/Source/astcenc-native || ( \
+	  cmake -S $(REF) -B $(REFBUILD) -DASTCENC_ISA_AVX2=ON \
+	        -DASTCENC_WERROR=OFF -DCMAKE_BUILD_TYPE=Release -G Ninja && \
+	  ninja -C $(REFBUILD) && \
+	  cp $(REFBUILD)/Source/astcenc-avx2 $(REFBUILD)/Source/astcenc-native && \
+	  cp $(REFBUILD)/Source/libastcenc-avx2-static.a \
+	     $(REFBUILD)/Source/libastcenc-native-static.a )
+	tools/build_ref_dump.sh
+
+native:
+	native/build.sh
+
+gate: oracle native
+	# Per-file processes (tools/run_suite.sh: jax XLA:CPU AOT cache
+	# segfault containment + cross-process compile reuse); -rs prints
+	# skip reasons and the grep fails the gate on ANY skipped test so a
+	# missing oracle can't silently pass.
+	bash tools/run_suite.sh --runslow -rs 2>&1 | tee /tmp/gate.log
+	@! grep -E "^(SKIPPED|FAILED)" /tmp/gate.log > /dev/null || \
+	  ( echo "GATE FAILURE: skipped/failed golden tests (see above)"; \
+	    exit 1 )
+
+bench:
+	$(PY) bench.py
+
+quality:
+	$(PY) tools/quality_regression.py run --out results/astcenc_tpu_small
+	@for p in fastest fast medium thorough; do \
+	  $(PY) tools/quality_regression.py gate \
+	    --ours results/astcenc_tpu_small_$${p}_results.csv \
+	    --ref $(REF)/Test/Images/Small/astc_reference-5.0-avx2_$${p}_results.csv \
+	    --tol 0.05 || exit 1; done

@@ -101,7 +101,8 @@ def _parse_options(rest, need_block):
         "block": None, "quality": None, "flags": 0, "swz_encode": (0, 1, 2, 3),
         "swz_decode": (0, 1, 2, 3), "silent": False, "yflip": False,
         "jobs": 0, "repeats": 1, "overrides": {}, "dblimit": None,
-        "a_radius": 0, "dtrace": None, "dimage": None,
+        "a_radius": 0, "dtrace": None, "dimage": None, "zdim": 1,
+        "mpsnr": (-10, 10),
     }
     i = 0
     if need_block:
@@ -148,6 +149,16 @@ def _parse_options(rest, need_block):
             opts["swz_encode"] = _parse_swizzle(arg()); i += 1
         elif a == "-dsw":
             opts["swz_decode"] = _parse_swizzle(arg()); i += 1
+        elif a == "-ssw":
+            # Error-significance weighting: cw_X = 1 if channel named,
+            # else 0 (reference: astcenccli_toplevel.cpp:792-843).
+            pat = arg()
+            if not pat or len(pat) > 4 or any(c not in "rgba" for c in pat):
+                raise CliError(f"-ssw pattern '{pat}' is not valid")
+            for c, k in (("r", "cw_r_weight"), ("g", "cw_g_weight"),
+                         ("b", "cw_b_weight"), ("a", "cw_a_weight")):
+                ov[k] = 1.0 if c in pat else 0.0
+            i += 1
         elif a == "-cw":
             ov["cw_r_weight"] = float(arg(1))
             ov["cw_g_weight"] = float(arg(2))
@@ -189,9 +200,14 @@ def _parse_options(rest, need_block):
         elif a == "-dtrace":
             opts["dtrace"] = arg(); i += 1
         elif a == "-dimage":
-            opts["dimage"] = arg(); i += 1
+            # Boolean in the reference CLI (astcenccli_toplevel.cpp:1195);
+            # output names derive from the compressed file's stem.
+            opts["dimage"] = True
         elif a == "-zdim":
-            i += 1  # handled by 3D loader (not yet wired)
+            opts["zdim"] = int(arg())
+            if opts["zdim"] < 1:
+                raise CliError(f"-zdim size '{arg()}' is invalid")
+            i += 1
         elif a == "-mpsnr":
             opts["mpsnr"] = (int(arg(1)), int(arg(2))); i += 2
         else:
@@ -201,6 +217,8 @@ def _parse_options(rest, need_block):
 
 
 def _make_context(profile, block, quality, opts):
+    if opts.get("zdim", 1) > 1 and block[2] == 1:
+        raise CliError("-zdim with 3D input data for a 2D output format")
     cfg = api.config_init(profile, block[0], block[1], block[2],
                           quality, opts["flags"])
     for k, v in opts["overrides"].items():
@@ -213,18 +231,80 @@ def _make_context(profile, block, quality, opts):
 
 
 def _load_for_encode(path, opts):
+    zdim = opts.get("zdim", 1)
+    if zdim > 1:
+        # 3D array input: slices named base_<i>.ext
+        # (reference: astcenccli_toplevel.cpp:300-460 load_uncomp_file).
+        base, ext = os.path.splitext(path)
+        if not ext:
+            raise CliError(
+                f"Image pattern does not contain file extension: {path}")
+        slices = []
+        is_hdr = ncomp = None
+        for zi in range(zdim):
+            d, h, c = image_io.load_image(f"{base}_{zi}{ext}")
+            if opts["yflip"]:
+                d = d[::-1]
+            if zi == 0:
+                is_hdr, ncomp = h, c
+            elif (h, c) != (is_hdr, ncomp):
+                raise CliError(f"Image array[0] and [{zi}] are different"
+                               " formats")
+            elif d.shape != slices[0].shape:
+                raise CliError(f"Image array[0] and [{zi}] are different"
+                               " dimensions")
+            slices.append(d)
+        return np.stack(slices, axis=0), is_hdr, ncomp
     data, is_hdr, ncomp = image_io.load_image(path)
     if opts["yflip"]:
         data = data[::-1]
     return data, is_hdr, ncomp
 
 
+def _compress_repeat(ctx, data, opts, tracer=None):
+    """Compress with -repeats timing semantics: best-of-N coding time
+    (reference: astcenccli_toplevel.cpp:2185-2218)."""
+    best = float("inf")
+    blocks = None
+    for _ in range(max(1, opts["repeats"])):
+        t0 = time.perf_counter()
+        blocks = api.compress_image(ctx, data, opts["swz_encode"],
+                                    tracer=tracer)
+        api.compress_reset(ctx)
+        best = min(best, time.perf_counter() - t0)
+        tracer = None          # capture only the first iteration
+    return blocks, best
+
+
+def _print_performance(n_texels, coding_time, decode_time=None,
+                       total_time=None):
+    """Reference "Performance metrics" block
+    (astcenccli_toplevel.cpp:2351-2378)."""
+    print("Performance metrics")
+    print("===================\n")
+    if total_time is not None:
+        print(f"    Total time:                {total_time:8.4f} s")
+    if coding_time is not None:
+        rate = n_texels / (max(coding_time, 1e-9) * 1e6)
+        print(f"    Coding time:               {coding_time:8.4f} s")
+        print(f"    Coding rate:               {rate:8.4f} MT/s")
+    if decode_time is not None:
+        rate = n_texels / (max(decode_time, 1e-9) * 1e6)
+        print(f"    Decoding time:             {decode_time:8.4f} s")
+        print(f"    Decoding rate:             {rate:8.4f} MT/s")
+
+
 def _do_compress(profile, in_path, out_path, opts):
+    tstart = time.perf_counter()
     data, _, _ = _load_for_encode(in_path, opts)
     ctx = _make_context(profile, opts["block"], opts["quality"], opts)
-    tstart = time.perf_counter()
-    blocks = api.compress_image(ctx, data, opts["swz_encode"])
-    ttotal = time.perf_counter() - tstart
+    tracer = None
+    if opts.get("dtrace"):
+        from .codec.trace import Tracer
+        tracer = Tracer()
+    blocks, tcode = _compress_repeat(ctx, data, opts, tracer=tracer)
+    if tracer is not None:
+        tracer.write(opts["dtrace"])
     if data.ndim == 4:
         z, h, w = data.shape[:3]
     else:
@@ -236,25 +316,21 @@ def _do_compress(profile, in_path, out_path, opts):
                                  srgb=(profile == Profile.LDR_SRGB))
     else:
         astc_file.write_astc(out_path, ctx.block_dims, (w, h, z), blocks)
-    if opts.get("dtrace") or opts.get("dimage"):
-        _write_diagnostics(ctx, blocks, (w, h, z), opts)
+    if opts.get("dimage"):
+        _write_diagnostics(ctx, blocks, (w, h, z), opts,
+                           os.path.splitext(out_path)[0])
     if not opts["silent"]:
-        mt = (w * h * z) / max(ttotal, 1e-9) / 1e6
-        print(f"Coding time: {ttotal:.4f} s ({mt:.2f} MT/s)")
+        _print_performance(w * h * z, tcode,
+                           total_time=time.perf_counter() - tstart)
     return 0
 
 
-def _write_diagnostics(ctx, blocks, dims, opts):
-    """Emit per-block diagnostic artifacts.
-
-    -dtrace: JSON of per-block encoding choices + summary histograms (the
-      analog of the reference's ASTCENC_DIAGNOSTICS trace,
-      astcenccli_toplevel.cpp -dtrace / astcenc_diagnostic_trace.cpp).
-    -dimage: PNG color-coding each texel's partition assignment
-      (astcenccli_toplevel.cpp:1544-1898 diagnostic image dumps).
+def _write_diagnostics(ctx, blocks, dims, opts, stem):
+    """Emit the reference's per-block diagnostic image set
+    (reference: print_diagnostic_images, astcenccli_toplevel.cpp:1581-1898):
+    <stem>_diag_{partitioning, weight_plane2, weight_density, weight_quant,
+    color_quant, cem_index}.png.
     """
-    import json
-
     from . import api as api_mod
 
     w, h, z = dims
@@ -263,45 +339,60 @@ def _write_diagnostics(ctx, blocks, dims, opts):
     infos = [api_mod.get_block_info(ctx, blocks[i])
              for i in range(min(len(blocks), nx * ny))]
 
-    if opts.get("dtrace"):
-        hist = {}
-        recs = []
-        for i, bi in enumerate(infos):
-            key = (f"pc{bi['partition_count']}"
-                   f"_pl{2 if bi['block_is_dual_plane'] else 1}")
-            if bi["block_is_constant"]:
-                key = "constant"
-            hist[key] = hist.get(key, 0) + 1
-            recs.append({
-                "block": i,
-                "constant": bi["block_is_constant"],
-                "error": bi["block_is_error"],
-                "partition_count": bi["partition_count"],
-                "partition_index": bi["partition_index"],
-                "dual_plane": bi["block_is_dual_plane"],
-                "weight_grid": [bi["weight_x"], bi["weight_y"],
-                                bi["weight_z"]],
-                "weight_quant_levels": bi["weight_quant_level"],
-            })
-        with open(opts["dtrace"], "w") as f:
-            json.dump({"block_x": bx, "block_y": by, "block_z": bz,
-                       "dim_x": w, "dim_y": h, "summary": hist,
-                       "blocks": recs}, f, indent=1)
+    palette = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0],
+                        [0, 0, 255], [255, 255, 255]], np.uint8)
 
-    if opts.get("dimage"):
-        palette = np.array([[60, 60, 60], [60, 160, 255], [255, 120, 60],
-                            [120, 255, 60], [255, 60, 200]], np.uint8)
+    def emit(name, block_fn):
         img = np.zeros((ny * by, nx * bx, 3), np.uint8)
         for i, bi in enumerate(infos):
             byy, bxx = (i // nx) * by, (i % nx) * bx
-            assign = bi.get("partition_assignment")
-            if assign is not None:
-                tile = palette[1 + np.array(assign).reshape(bz, by, bx)[0] % 4]
-            else:
-                pcol = 0 if bi["block_is_constant"] else 1
-                tile = np.broadcast_to(palette[pcol], (by, bx, 3))
-            img[byy:byy + by, bxx:bxx + bx] = tile
-        image_io.save_image(opts["dimage"], img[:h, :w], ncomp=3)
+            img[byy:byy + by, bxx:bxx + bx] = block_fn(bi)
+        image_io.save_image(f"{stem}_diag_{name}.png", img[:h, :w], ncomp=3)
+
+    def f_partition(bi):
+        if bi["block_is_constant"] or bi.get("partition_assignment") is None:
+            return palette[0]
+        a = np.array(bi["partition_assignment"]).reshape(bz, by, bx)[0]
+        return palette[a + 1]
+
+    def f_plane2(bi):
+        c = (bi["dual_plane_component"] + 1
+             if bi["block_is_dual_plane"] else 0)
+        return np.broadcast_to(palette[c], (by, bx, 3))
+
+    def f_density(bi):
+        d = 0.0
+        if not bi["block_is_constant"]:
+            d = (bi["weight_x"] * bi["weight_y"]) / float(bx * by)
+        v = int(255.0 * d)
+        return np.full((by, bx, 3), v, np.uint8)
+
+    def f_wquant(bi):
+        q = 0 if bi["block_is_constant"] else bi["weight_quant_level"] - 1
+        return np.full((by, bx, 3), q, np.uint8)
+
+    def f_cquant(bi):
+        q = (0 if bi["block_is_constant"] or not bi.get("color_quant_level")
+             else bi["color_quant_level"] - 1)
+        return np.full((by, bx, 3), q, np.uint8)
+
+    def f_cem(bi):
+        if bi["block_is_constant"] or not bi["color_endpoint_modes"]:
+            return np.zeros((by, bx, 3), np.uint8)
+        a = (np.array(bi["partition_assignment"]).reshape(bz, by, bx)[0]
+             if bi.get("partition_assignment") is not None
+             else np.zeros((by, bx), np.int32))
+        cems = np.asarray(bi["color_endpoint_modes"]
+                          + [0] * (4 - len(bi["color_endpoint_modes"])))
+        v = (cems[a] * 16).astype(np.uint8)
+        return np.stack([v, v, v], axis=-1)
+
+    emit("partitioning", f_partition)
+    emit("weight_plane2", f_plane2)
+    emit("weight_density", f_density)
+    emit("weight_quant", f_wquant)
+    emit("color_quant", f_cquant)
+    emit("cem_index", f_cem)
 
 
 def _load_compressed(in_path):
@@ -352,24 +443,47 @@ def _do_decompress(profile, in_path, out_path, opts):
 
 
 def _do_roundtrip(profile, in_path, out_path, opts):
-    data, _, _ = _load_for_encode(in_path, opts)
-    ctx = _make_context(profile, opts["block"], opts["quality"], opts)
     tstart = time.perf_counter()
-    blocks = api.compress_image(ctx, data, opts["swz_encode"])
-    ttotal = time.perf_counter() - tstart
-    h, w = data.shape[:2]
+    data, is_hdr, ncomp = _load_for_encode(in_path, opts)
+    ctx = _make_context(profile, opts["block"], opts["quality"], opts)
+    blocks, tcode = _compress_repeat(ctx, data, opts)
+    if data.ndim == 4:
+        z, h, w = data.shape[:3]
+    else:
+        h, w = data.shape[:2]
+        z = 1
     out_type = "u8" if profile in (Profile.LDR, Profile.LDR_SRGB) else "f32"
-    img = api.decompress_image(ctx, np.asarray(blocks), w, h, 1,
-                               out_type=out_type, swizzle=opts["swz_decode"])
-    image_io.save_image(out_path, img[0] if not opts["yflip"] else img[0][::-1])
+    tdec = float("inf")
+    img = None
+    for _ in range(max(1, opts["repeats"])):
+        t0 = time.perf_counter()
+        img = api.decompress_image(ctx, np.asarray(blocks), w, h, z,
+                                   out_type=out_type,
+                                   swizzle=opts["swz_decode"])
+        tdec = min(tdec, time.perf_counter() - t0)
+    out0 = img[0] if not opts["yflip"] else img[0][::-1]
+    image_io.save_image(out_path, out0)
 
     if not opts["silent"]:
-        ref = data.astype(np.float32) / 255.0 if data.dtype == np.uint8 else data
-        dec = img[0]
-        p = metrics.psnr(ref, dec)
-        mt = (w * h) / max(ttotal, 1e-9) / 1e6
-        print(f"PSNR (LDR-RGB): {p:.4f} dB")
-        print(f"Coding time: {ttotal:.4f} s ({mt:.2f} MT/s)")
+        # Compare stage (reference: astcenccli_toplevel.cpp:2288-2296 →
+        # compute_error_metrics, astcenccli_error_metrics.cpp:110-413).
+        ref = (data.astype(np.float32) / 255.0
+               if data.dtype == np.uint8 else data)
+        dec = np.asarray(img if img.ndim == 4 else img[None])
+        if dec.dtype == np.uint8:
+            dec = dec.astype(np.float32) / 255.0
+        if ref.ndim == 3:
+            ref = ref[None]
+        hdr = profile in (Profile.HDR_RGB_LDR_A, Profile.HDR)
+        normal = bool(opts["flags"] & Flags.MAP_NORMAL)
+        lo, hi = opts["mpsnr"]
+        m = metrics.compute_error_metrics(ref, dec, ncomp or 4, hdr=hdr,
+                                          normal=normal, fstop_lo=lo,
+                                          fstop_hi=hi)
+        print(metrics.format_error_metrics(m, ncomp or 4, hdr, normal,
+                                           lo, hi))
+        _print_performance(w * h * z, tcode, decode_time=tdec,
+                           total_time=time.perf_counter() - tstart)
     return 0
 
 

@@ -84,6 +84,9 @@ def get_block_info(ctx, pcb: np.ndarray) -> dict:
     else:
         info["weight_values_plane1"] = w.tolist()
 
+    wbits = int(bsd.bm_weight_bits[pk])
+
+    # ---- Color endpoint modes (reference: symbolic_physical.cpp:380-460)
     if pc > 1:
         pidx = _read_bits(pcb, 13, 10)
         info["partition_index"] = pidx
@@ -92,11 +95,75 @@ def get_block_info(ctx, pcb: np.ndarray) -> dict:
         if row != 0xFFFF:
             info["partition_assignment"] = (
                 parts["partition_of_texel"][row].tolist())
-        cem_base = _read_bits(pcb, 23, 6)
-        info["cem_base"] = cem_base
+        ehs = 3 * pc - 4
+        below = 128 - wbits - ehs
+        encoded_type = (_read_bits(pcb, 23, 6)
+                        | (_read_bits(pcb, below, ehs) << 6))
+        baseclass = encoded_type & 0x3
+        if baseclass == 0:
+            fmts = [(encoded_type >> 2) & 0xF] * pc
+            ehs = 0
+        else:
+            bclass = baseclass - 1
+            fmts = []
+            for p in range(pc):
+                hi2 = ((encoded_type >> (2 + p)) & 1) + bclass
+                lo2 = (encoded_type >> (2 + pc + 2 * p)) & 3
+                fmts.append((hi2 << 2) | lo2)
+        base_off = 29
     else:
-        fmt = _read_bits(pcb, 13, 4)
-        info["color_endpoint_modes"] = [fmt]
-        info["block_is_hdr"] = fmt in (2, 3, 7, 11, 14, 15)
+        fmts = [_read_bits(pcb, 13, 4)]
+        ehs = 0
+        base_off = 17
+    info["color_endpoint_modes"] = fmts
+    info["partition_assignment"] = (info["partition_assignment"]
+                                    or [0] * bsd.texel_count)
+
+    # ---- Color quant level + values (reference: entry.cpp:1445-1516)
+    icount = sum(((f >> 2) + 1) * 2 for f in fmts)
+    color_bits_arr = [0, 111, 99, 99, 99]
+    color_bits = color_bits_arr[pc] - wbits - ehs - (2 if dual else 0)
+    color_bits = max(0, min(127, color_bits))
+    cquant = int(quant.quant_mode_table()[min(icount >> 1, 9), color_bits])
+    info["color_quant_level"] = (ise.QUANT_LEVELS[cquant]
+                                 if cquant >= 0 else 0)
+
+    if dual:
+        info["dual_plane_component"] = _read_bits(
+            pcb, 128 - wbits - ehs - 2, 2)
+
+    if cquant >= 4 and icount <= 18:
+        csyms = ise.decode_ise(cquant, icount, pcb, bit_offset=base_off)
+        s2v = quant.color_quant_tables(cquant)["scrambled_pquant_to_uquant"]
+        cvals = [int(s2v[s]) for s in csyms]
+        color_values = []
+        pos = 0
+        for f in fmts:
+            n = ((f >> 2) + 1) * 2
+            color_values.append(cvals[pos:pos + n] + [0] * (8 - n))
+            pos += n
+        info["color_values"] = [cv[:((fmts[i] >> 2) + 1) * 2]
+                                for i, cv in enumerate(color_values)]
+
+        # Decoded float endpoints per partition (reference: :1466-1494)
+        import jax.numpy as jnp
+        from ..ops import color_unquant as cuq
+        from ..ops import softfloat as sf
+        fmt_a = jnp.asarray([fmts + [0] * (4 - pc)], jnp.int32)
+        val_a = jnp.asarray([color_values + [[0] * 8] * (4 - pc)],
+                            jnp.int32)
+        profile = int(ctx.config.profile)
+        ep0, ep1, rgb_hdr, a_hdr = cuq.unpack_color_endpoints(
+            profile, fmt_a, val_a)
+        hdr_mask = jnp.stack([rgb_hdr, rgb_hdr, rgb_hdr, a_hdr], -1)
+        eps = []
+        for ep in (ep0, ep1):
+            f16 = jnp.where(hdr_mask, sf.lns_to_sf16(ep),
+                            sf.unorm16_to_sf16(ep))
+            eps.append(np.asarray(sf.float16_to_float(f16))[0])
+        info["color_endpoints"] = [
+            [eps[0][p].tolist(), eps[1][p].tolist()] for p in range(pc)]
+        info["block_is_hdr"] = bool(np.any(np.asarray(rgb_hdr)[0, :pc])
+                                    or np.any(np.asarray(a_hdr)[0, :pc]))
 
     return info

@@ -80,7 +80,24 @@ def main():
 
     # Warmup / compile (single monolithic program); fetch to host — on
     # tunneled backends block_until_ready can return before execution ends.
-    np.asarray(fn(ctx._dtables_key, ctx._enc_key, cfgs, all_chunks[0]))
+    # Safety ladder: if a Pallas kernel family fails to compile on this
+    # backend, fall back to the XLA formulation rather than losing the
+    # whole benchmark run.
+    for fallback in ("", "msearch", "msearch,refine,psearch,gather"):
+        if fallback:
+            print(f"bench: retrying with ASTC_DISABLE_KERNELS={fallback}",
+                  file=sys.stderr)
+            os.environ["ASTC_DISABLE_KERNELS"] = fallback
+            jax.clear_caches()
+        try:
+            np.asarray(fn(ctx._dtables_key, ctx._enc_key, cfgs,
+                          all_chunks[0]))
+            break
+        except Exception as e:      # noqa: BLE001 - any compile/run error
+            print(f"bench: warmup failed ({type(e).__name__}: {e})",
+                  file=sys.stderr)
+    else:
+        raise SystemExit("bench: all kernel fallbacks failed")
 
     # Serialized dispatch+fetch per chunk: block_until_ready alone does not
     # reliably wait on tunneled device backends, and deep in-flight queues

