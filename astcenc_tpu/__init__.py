@@ -33,6 +33,11 @@ import jax as _jax
 # then the caller's informed choice — needed for usable CPU iteration).
 _cache = _os.environ.get("ASTC_JAX_CACHE")
 _plat = _os.environ.get("JAX_PLATFORMS", "")
+if _plat:
+    # This jax build does not honor the JAX_PLATFORMS env var (observed:
+    # JAX_PLATFORMS=cpu still initializes the axon TPU plugin and hangs
+    # when the tunnel is down); mirror it into the config, which works.
+    _jax.config.update("jax_platforms", _plat)
 if _cache is None and "cpu" not in _plat.split(","):
     _cache = "/tmp/jax_cache"
 if _cache and _cache != "none":

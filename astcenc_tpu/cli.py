@@ -329,7 +329,7 @@ def _write_diagnostics(ctx, blocks, dims, opts, stem):
     """Emit the reference's per-block diagnostic image set
     (reference: print_diagnostic_images, astcenccli_toplevel.cpp:1581-1898):
     <stem>_diag_{partitioning, weight_plane2, weight_density, weight_quant,
-    color_quant, cem_index}.png.
+    color_quant, cem_index, cem_components, cem_style, cem_hdr}.png.
     """
     from . import api as api_mod
 
@@ -387,12 +387,57 @@ def _write_diagnostics(ctx, blocks, dims, opts, stem):
         v = (cems[a] * 16).astype(np.uint8)
         return np.stack([v, v, v], axis=-1)
 
+    def _cem_per_texel(bi, lut):
+        """Per-texel value from each texel's partition's CEM via lut."""
+        if bi["block_is_constant"] or not bi["color_endpoint_modes"]:
+            return None
+        a = (np.array(bi["partition_assignment"]).reshape(bz, by, bx)[0]
+             if bi.get("partition_assignment") is not None
+             else np.zeros((by, bx), np.int32))
+        cems = np.asarray(bi["color_endpoint_modes"]
+                          + [0] * (4 - len(bi["color_endpoint_modes"])))
+        return lut[cems[a]]
+
+    # CEM component count classes (astcenccli_toplevel.cpp:1736-1787)
+    _ncomp_of_cem = np.array(
+        [1, 1, 1, 1, 2, 2, 3, 3, 3, 3, 4, 3, 4, 4, 4, 4], np.int32)
+
+    def f_cem_components(bi):
+        cls = _cem_per_texel(bi, _ncomp_of_cem)
+        if cls is None:
+            return np.zeros((by, bx, 3), np.uint8)
+        return palette[cls]
+
+    # CEM style: 1=direct, 2=offset, 3=scale (:1789-1848)
+    _style_of_cem = np.array(
+        [1, 1, 1, 1, 1, 2, 3, 3, 1, 2, 3, 1, 1, 2, 1, 1], np.int32)
+
+    def f_cem_style(bi):
+        cls = _cem_per_texel(bi, _style_of_cem)
+        if cls is None:
+            return np.zeros((by, bx, 3), np.uint8)
+        return palette[cls]
+
+    # CEM LDR (128) vs HDR (155) endpoint classes (:1851-1889)
+    _hdr_of_cem = np.array(
+        [128, 128, 155, 155, 128, 128, 128, 155,
+         128, 128, 128, 155, 128, 128, 155, 155], np.int32)
+
+    def f_cem_hdr(bi):
+        v = _cem_per_texel(bi, _hdr_of_cem)
+        if v is None:
+            return np.zeros((by, bx, 3), np.uint8)
+        return np.stack([v, v, v], axis=-1).astype(np.uint8)
+
     emit("partitioning", f_partition)
     emit("weight_plane2", f_plane2)
     emit("weight_density", f_density)
     emit("weight_quant", f_wquant)
     emit("color_quant", f_cquant)
     emit("cem_index", f_cem)
+    emit("cem_components", f_cem_components)
+    emit("cem_style", f_cem_style)
+    emit("cem_hdr", f_cem_hdr)
 
 
 def _load_compressed(in_path):

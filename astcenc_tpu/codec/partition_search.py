@@ -197,7 +197,7 @@ def find_best_partition_candidates(st, bsd, cw, partition_count: int,
     cwj = jnp.asarray(cw_eff, jnp.float32)
 
     S = search
-    if gather_ops._use_pallas() and T <= 128:
+    if gather_ops._use_pallas() and T <= 144:
         # Kernel-fused ranking: texels are read once per block tile instead
         # of materializing the (N*S, T, 4) candidate-folded tensors.
         potS = pot_all[top]                                  # (N, S, T)

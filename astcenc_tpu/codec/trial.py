@@ -33,6 +33,12 @@ from ..tables import ise, quant
 ERROR_CALC_DEFAULT = 1e30
 QUANT_32 = 11
 
+# Largest texel count routed through the fused Pallas kernels.
+# 144 covers every 2D block size (12x12) plus 3D up to 5x5x5;
+# 6x6x6 (T=216) stays on the XLA path until its ~21 MB of VMEM
+# stencil working set is tiled.
+_KMAX_T = 144
+
 
 def effective_cw(cfg, st):
     """Per-block channel weights.
@@ -400,7 +406,7 @@ def trial1_records(st, et: EncoderTables, cfg, profile: int,
 
     use_ms = (gather_ops._use_pallas()
               and gather_ops._kernel_enabled("msearch")
-              and T <= 128 and W <= 64)
+              and T <= _KMAX_T and W <= 64)
     if use_ms:
         # --- Fused Pallas trial front-end (see ops/msearch_pallas.py) -----
         # Decimated ideal weights, angular ranges, per-mode quantize +
@@ -565,7 +571,7 @@ def trial1_records(st, et: EncoderTables, cfg, profile: int,
 
     use_rk = (gather_ops._use_pallas()
               and gather_ops._kernel_enabled("refine")
-              and cfg.rgbm_scale == 0.0 and T <= 128 and W <= 64)
+              and T <= _KMAX_T and W <= 64)
     ys_rounds = []
     if use_rk and profile < 2:
         # Whole-trial fused kernel: all R rounds of LS refit + LDR color
@@ -584,7 +590,7 @@ def trial1_records(st, et: EncoderTables, cfg, profile: int,
          errpost_k) = refine_ops.trial1_refine_full(
             rtabs, meta, fmeta, texk, et.ncolors, u8_mask,
             cfg.channel_weights, R, pc,
-            profile, cw_scale=cws_f)
+            profile, cw_scale=cws_f, rgbm_scale=cfg.rgbm_scale)
         for r in range(R):
             w_pre = wgrid0 if r == 0 else wpost_k[r - 1]
             err_pre = (errpre_k if r == 0
@@ -603,7 +609,7 @@ def trial1_records(st, et: EncoderTables, cfg, profile: int,
                                      zero_ep, zero_ep, pot_f, T)
         _, _, undec, _, _ = refine_ops.refine_round_1plane(
             rtabs, meta0, texk, 0, u8_mask, cfg.channel_weights,
-            cw_scale=cws_f)
+            cw_scale=cws_f, rgbm_scale=cfg.rgbm_scale)
         wgrid = wgrid0
         alive = valid_f
         ep0_c, ep1_c = rep(ei["ep0"]), rep(ei["ep1"])
@@ -615,7 +621,8 @@ def trial1_records(st, et: EncoderTables, cfg, profile: int,
             (new_w, adjusted, undec, err_pre_k,
              err_post_k) = refine_ops.refine_round_1plane(
                 rtabs, meta, texk, et.ncolors, u8_mask,
-                cfg.channel_weights, cw_scale=cws_f)
+                cfg.channel_weights, cw_scale=cws_f,
+                rgbm_scale=cfg.rgbm_scale)
             if r == 0:
                 err_pre = jnp.where(alive, err_pre_k, jnp.float32(1e30))
             else:
@@ -972,7 +979,7 @@ def trial2_records(st, et: EncoderTables, cfg, profile: int,
 
     use_ms = (gather_ops._use_pallas()
               and gather_ops._kernel_enabled("msearch")
-              and T <= 128 and W <= 64)
+              and T <= _KMAX_T and W <= 64)
     if use_ms:
         # --- Fused Pallas trial front-end, both planes in one kernel ------
         # (see ops/msearch_pallas.py; the two=True layout carries plane-2
@@ -1113,7 +1120,7 @@ def trial2_records(st, et: EncoderTables, cfg, profile: int,
     T2 = texels.shape[1]
     use_rk = (gather_ops._use_pallas()
               and gather_ops._kernel_enabled("refine")
-              and cfg.rgbm_scale == 0.0 and T2 <= 128 and W <= 63)
+              and T2 <= _KMAX_T and W <= 63)
     ys_rounds = []
     if use_rk and profile < 2:
         # Whole-trial fused kernel (see _trial2_full_kernel).
@@ -1128,7 +1135,8 @@ def trial2_records(st, et: EncoderTables, cfg, profile: int,
         (fmt_k, vals_k, w1_k, w2_k, errpre_k,
          errpost_k) = refine_ops.trial2_refine_full(
             rtabs, meta, fmeta, texk, et.ncolors, u8_mask,
-            cfg.channel_weights, R, profile, cw_scale=cws_f)
+            cfg.channel_weights, R, profile, cw_scale=cws_f,
+            rgbm_scale=cfg.rgbm_scale)
         for r in range(R):
             fmt4 = jnp.zeros((NC, 4), jnp.int32).at[:, 0].set(fmt_k[r])
             vals4 = jnp.zeros((NC, 4, 8), jnp.int32).at[:, 0].set(vals_k[r])
@@ -1147,7 +1155,7 @@ def trial2_records(st, et: EncoderTables, cfg, profile: int,
                                             valid_f, p2c_f, zero4, zero4)
         _, _, _, u1, u2, _, _ = refine_ops.refine_round_2plane(
             rtabs, meta0, texk, 0, u8_mask, cfg.channel_weights,
-            cw_scale=cws_f)
+            cw_scale=cws_f, rgbm_scale=cfg.rgbm_scale)
         wg1, wg2 = wg1_0, wg2_0
         alive = valid_f
         ep0_c, ep1_c = rep(ep0m[:, 0]), rep(ep1m[:, 0])
@@ -1160,7 +1168,8 @@ def trial2_records(st, et: EncoderTables, cfg, profile: int,
             (nw1, nw2, adjusted, u1, u2, err_pre_k,
              err_post_k) = refine_ops.refine_round_2plane(
                 rtabs, meta, texk, et.ncolors, u8_mask,
-                cfg.channel_weights, cw_scale=cws_f)
+                cfg.channel_weights, cw_scale=cws_f,
+                rgbm_scale=cfg.rgbm_scale)
             if r == 0:
                 err_pre = jnp.where(alive, err_pre_k, jnp.float32(1e30))
             else:

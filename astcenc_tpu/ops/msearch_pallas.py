@@ -303,8 +303,9 @@ def _ms_kernel(wei_ref, wes_ref, mcut_ref, maxwq_ref, ce_ref, cf_ref,
                                used=used, wcounts=wcounts, mprec=mprec1,
                                T=T, W=W, BT=BT)
     if two:
-        wei2 = wei_ref[128:128 + T, :]
-        wes2 = wes_ref[128:128 + T, :]
+        TSm = 128 if T <= 128 else (T + 7) & ~7
+        wei2 = wei_ref[TSm:TSm + T, :]
+        wes2 = wes_ref[TSm:TSm + T, :]
         mcut2 = mcut_ref[1:2, :]
         di2, lohi2 = _plane_tables(wei2, wes2, maxwq, dit_ref, dsq_ref,
                                    sfm_ref, used=used, wcounts=wcounts,
@@ -441,7 +442,8 @@ def _ms_call(weiT, wesT, mcutT, maxwqT, ceT, cfT, sfm, dit, dsq,
              modes: tuple, C: int, pc: int, S: int, T: int, W: int,
              D: int, wcounts: tuple, mprec1: tuple, mprec2: tuple):
     B = weiT.shape[1]
-    two = weiT.shape[0] > 128
+    TSm = 128 if T <= 128 else (T + 7) & ~7
+    two = weiT.shape[0] > TSm
     BT = 128
     kern = functools.partial(_ms_kernel, modes=modes, C=C, pc=pc, S=S,
                              T=T, W=W, D=D, two=two, wcounts=wcounts,
@@ -514,11 +516,13 @@ def mode_search(tables: MsTables, wei, wes, mcut, maxwq, comb_err,
         return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1)) \
             if pad else x
 
+    TSm = 128 if T <= 128 else (T + 7) & ~7
+
     def pack_t(a, b):
-        out = jnp.zeros((N + pad, 256 if two else 128), jnp.float32)
+        out = jnp.zeros((N + pad, 2 * TSm if two else TSm), jnp.float32)
         out = out.at[:N, 0:T].set(a)
         if two:
-            out = out.at[:N, 128:128 + T].set(b)
+            out = out.at[:N, TSm:TSm + T].set(b)
         return out.T
 
     weiT = pack_t(wei, wei2)

@@ -31,6 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .gather_pallas import _interpret
+from .refine_pallas import _asr_cw, _texp, asr_row
 
 
 def _psearch_kernel(pot_ref, tex_ref, ua_ref, out_u_ref, out_s_ref, *,
@@ -39,13 +40,9 @@ def _psearch_kernel(pot_ref, tex_ref, ua_ref, out_u_ref, out_s_ref, *,
     pot = pot_ref[0]                               # (T, BT) int32
     BT = pot.shape[1]
     f32 = jnp.float32
-    texp = [tex_ref[ch * 128:ch * 128 + T, :] for ch in range(4)]
+    texp = _texp(tex_ref, T)
     if has_asr:
-        # Per-block alpha-scaled channel weights (USE_ALPHA_WEIGHT): the
-        # scale rides spare row 511 of the tex operand (T <= 125 < 128).
-        asr = tex_ref[511:512, :]
-        cw = (cw[0] * asr, cw[1] * asr, cw[2] * asr,
-              jnp.full_like(asr, f32(cw[3])))
+        cw = _asr_cw(tex_ref, T, cw)
     ua = ua_ref[:] != 0                            # (1, BT)
     cm = [jnp.ones((1, BT), f32) for _ in range(3)]
     cm.append(jnp.where(ua, 1.0, 0.0))             # alpha lane mask
@@ -170,7 +167,7 @@ def _psearch_call(potT, texT, ua, T: int, P: int, wie: float, cw: tuple,
         in_specs=[
             pl.BlockSpec((1, T, BT), lambda s, i: (s, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((512, BT), lambda s, i: (0, i),
+            pl.BlockSpec((texT.shape[0], BT), lambda s, i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BT), lambda s, i: (0, i),
                          memory_space=pltpu.VMEM),
@@ -196,7 +193,8 @@ def line_errors(potS, tex_packed, uses_alpha, P: int, wie: float, cw,
     """
     N, S, T = potS.shape
     if cw_scale is not None:
-        tex_packed = tex_packed.at[:, 511].set(cw_scale.astype(jnp.float32))
+        tex_packed = tex_packed.at[:, asr_row(T)].set(
+            cw_scale.astype(jnp.float32))
     pad = (-N) % BT
     potT = jnp.transpose(potS, (1, 2, 0))          # (S, T, N)
     ua = uses_alpha.astype(jnp.int32)[None, :]     # (1, N)

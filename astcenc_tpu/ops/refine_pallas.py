@@ -52,10 +52,90 @@ from ..tables import ise
 _BIG = 1e30                        # ERROR_CALC_DEFAULT
 
 
+# ---------------------------------------------------------------------------
+# Packed-operand row layout. Every kernel in this family reads texels from
+# a feature-major operand with the four channel planes at a fixed row
+# stride. T <= 125 keeps the historical 128-row stride / 512-row operand
+# (alpha scale on spare row 511); bigger blocks (12x12 T=144, 3D) get an
+# 8-aligned stride with an 8-row tail whose first row carries the alpha
+# scale.
+# ---------------------------------------------------------------------------
+
+def tex_stride(T: int) -> int:
+    """Per-channel row stride in the packed texel operand."""
+    return 128 if T <= 125 else (T + 7) & ~7
+
+
+def tex_rows(T: int) -> int:
+    """Total rows of the packed texel operand."""
+    return 512 if T <= 125 else 4 * tex_stride(T) + 8
+
+
+def asr_row(T: int) -> int:
+    """Row carrying the per-block alpha scale (USE_ALPHA_WEIGHT)."""
+    return 511 if T <= 125 else 4 * tex_stride(T)
+
+
+def meta_rows(T: int) -> int:
+    """Rows of the int32 meta operand; partition-of-texel lives at row
+    base 256, so the operand grows with the texel count."""
+    return 384 if T <= 128 else 256 + ((T + 7) & ~7)
+
+
+def _err_from_colors(colors, texp, cw, rgbm_scale: float):
+    """Summed per-texel trial error from decoded channel planes.
+
+    rgbm_scale > 0 selects the RGBM perceptual metric with M==0 candidate
+    rejection (reference: astcenc_decompress_symbolic.cpp:366-400);
+    multiply order matches codec/trial._rgbm_trial_error bit-for-bit."""
+    if rgbm_scale:
+        scale = jnp.float32(rgbm_scale)
+        m = colors[3]
+        m_zero = jnp.max(jnp.where(m == 0.0, 1.0, 0.0), axis=0,
+                         keepdims=True)
+        errt = None
+        for ch in range(3):
+            dec = colors[ch] * m * scale
+            org = texp[ch] * texp[3] * scale
+            dd = jnp.minimum(jnp.abs(org - dec), 1e15)
+            term = dd * dd * cw[ch]
+            errt = term if errt is None else errt + term
+        errt = jnp.minimum(errt, _BIG)
+        err = jnp.sum(errt, axis=0, keepdims=True)
+        return jnp.where(m_zero > 0.0, jnp.float32(_BIG), err)
+    errt = None
+    for ch in range(4):
+        dd = jnp.minimum(jnp.abs(texp[ch] - colors[ch]), 1e15)
+        term = dd * dd * cw[ch]
+        errt = term if errt is None else errt + term
+    errt = jnp.minimum(errt, _BIG)
+    return jnp.sum(errt, axis=0, keepdims=True)
+
+
+def _cat(pieces):
+    """Row-concatenate, dropping zero-row pads (T == stride cases)."""
+    pieces = [p for p in pieces if p.shape[0]]
+    return pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, 0)
+
+
+def _texp(tex_ref, T: int):
+    ts = tex_stride(T)
+    return [tex_ref[ch * ts:ch * ts + T, :] for ch in range(4)]
+
+
+def _asr_cw(tex_ref, T: int, cw):
+    """Per-block alpha-scaled channel weights (USE_ALPHA_WEIGHT): the
+    scale rides the spare row after the channel planes."""
+    r = asr_row(T)
+    asr = tex_ref[r:r + 1, :]
+    return (cw[0] * asr, cw[1] * asr, cw[2] * asr,
+            jnp.full_like(asr, jnp.float32(cw[3])))
+
+
 def _refine_kernel(meta_ref, tex_ref, si_ref, sf_ref, dmc_ref, pn_ref,
                    oint_ref, of32_ref, *, T: int, W: int, D: int,
                    ncolors: int, u8_mask: bool, cw: tuple,
-                   has_asr: bool = False):
+                   has_asr: bool = False, rgbm_scale: float = 0.0):
     meta = meta_ref[:]                             # (384, BT) int32
     BT = meta.shape[1]
     w64 = meta[0:W, :].astype(jnp.float32)         # (W, BT) weight grid
@@ -90,28 +170,22 @@ def _refine_kernel(meta_ref, tex_ref, si_ref, sf_ref, dmc_ref, pn_ref,
         ep0t.append(a0)
         ep1t.append(a1)
 
-    texp = [tex_ref[ch * 128:ch * 128 + T, :] for ch in range(4)]
+    texp = _texp(tex_ref, T)
     if has_asr:
-        # Per-block alpha-scaled channel weights (USE_ALPHA_WEIGHT): the
-        # scale rides spare row 511 of the tex operand (T <= 125 < 128).
-        asr = tex_ref[511:512, :]
-        cw = (cw[0] * asr, cw[1] * asr, cw[2] * asr,
-              jnp.full_like(asr, jnp.float32(cw[3])))
+        cw = _asr_cw(tex_ref, T, cw)
+    TS = tex_stride(T)
 
     def trial_err(wgrid_f):
         s = jnp.sum(srow_i * wgrid_f[None, :, :], axis=1)      # (T, BT)
         infill = jnp.floor((8.0 + s) * (1.0 / 16.0))           # exact ints
-        errt = None
+        colors = []
         for ch in range(4):
             color = jnp.floor((ep0t[ch] * (64.0 - infill)
                                + ep1t[ch] * infill + 32.0) * (1.0 / 64.0))
             if u8_mask:
                 color = jnp.floor(color * (1.0 / 256.0)) * 257.0
-            dd = jnp.minimum(jnp.abs(texp[ch] - color), 1e15)
-            term = dd * dd * cw[ch]
-            errt = term if errt is None else errt + term
-        errt = jnp.minimum(errt, _BIG)
-        return jnp.sum(errt, axis=0, keepdims=True)            # (1, BT)
+            colors.append(color)
+        return _err_from_colors(colors, texp, cw, rgbm_scale)  # (1, BT)
 
     err_pre = trial_err(w64)
 
@@ -122,9 +196,9 @@ def _refine_kernel(meta_ref, tex_ref, si_ref, sf_ref, dmc_ref, pn_ref,
         oint_ref[:] = jnp.concatenate(
             [w64.astype(jnp.int32), jnp.zeros((128 - W, BT), jnp.int32)],
             axis=0)
-        of32_ref[:] = jnp.concatenate(
-            [undec0, jnp.zeros((128 - T, BT), f32), err_pre, err_pre,
-             jnp.zeros((126, BT), f32)], axis=0)
+        of32_ref[:] = _cat(
+            [undec0, jnp.zeros((TS - T, BT), f32), err_pre, err_pre,
+             jnp.zeros((6, BT), f32)])
         return
 
     # --- realign sweep -----------------------------------------------------
@@ -208,16 +282,17 @@ def _refine_kernel(meta_ref, tex_ref, si_ref, sf_ref, dmc_ref, pn_ref,
          adjusted.astype(jnp.int32),
          jnp.zeros((63, BT), jnp.int32)], axis=0)
 
-    of32_ref[:] = jnp.concatenate(
-        [undec, jnp.zeros((128 - T, BT), f32), err_pre, err_post,
-         jnp.zeros((126, BT), f32)], axis=0)
+    of32_ref[:] = _cat(
+        [undec, jnp.zeros((TS - T, BT), f32), err_pre, err_post,
+         jnp.zeros((6, BT), f32)])
 
 
 def _trial1_full_kernel(meta_ref, fmeta_ref, tex_ref, si_ref, sf_ref,
                         dmc_ref, pn_ref, lo_ref, hi_ref,
                         oint_ref, of32_ref, *, T: int, W: int, D: int,
                         ncolors: int, u8_mask: bool, cw: tuple, R: int,
-                        pc: int, profile: int, has_asr: bool = False):
+                        pc: int, profile: int, has_asr: bool = False,
+                        rgbm_scale: float = 0.0):
     """All R refinement rounds of a 1-plane trial in one kernel: infill ->
     least-squares endpoint refit -> LDR color pack -> decode -> trial
     errors + parity-class realign, with every intermediate in VMEM.
@@ -251,13 +326,9 @@ def _trial1_full_kernel(meta_ref, fmeta_ref, tex_ref, si_ref, sf_ref,
     srow_f = jnp.dot(sf_ref[:], oh_d,
                      preferred_element_type=f32).reshape(T, W, BT)
     srow_inc = (srow_i != 0.0).astype(f32)
-    texp = [tex_ref[ch * 128:ch * 128 + T, :] for ch in range(4)]
+    texp = _texp(tex_ref, T)
     if has_asr:
-        # Per-block alpha-scaled channel weights (USE_ALPHA_WEIGHT): the
-        # scale rides spare row 511 of the tex operand (T <= 125 < 128).
-        asr = tex_ref[511:512, :]
-        cw = (cw[0] * asr, cw[1] * asr, cw[2] * asr,
-              jnp.full_like(asr, jnp.float32(cw[3])))
+        cw = _asr_cw(tex_ref, T, cw)
 
     qidx = jnp.clip(cq - ise.QUANT_6, 0, 16)
     lut = _make_lut(qidx, lo_ref, hi_ref)
@@ -294,17 +365,14 @@ def _trial1_full_kernel(meta_ref, fmeta_ref, tex_ref, si_ref, sf_ref,
     def trial_err(wgrid_f, ep0t, ep1t):
         s = jnp.sum(srow_i * wgrid_f[None, :, :], axis=1)
         infill = jnp.floor((8.0 + s) * (1.0 / 16.0))
-        errt = None
+        colors = []
         for ch in range(4):
             color = jnp.floor((ep0t[ch] * (64.0 - infill)
                                + ep1t[ch] * infill + 32.0) * (1.0 / 64.0))
             if u8_mask:
                 color = jnp.floor(color * (1.0 / 256.0)) * 257.0
-            dd = jnp.minimum(jnp.abs(texp[ch] - color), 1e15)
-            term = dd * dd * cw[ch]
-            errt = term if errt is None else errt + term
-        errt = jnp.minimum(errt, _BIG)
-        return jnp.sum(errt, axis=0, keepdims=True)
+            colors.append(color)
+        return _err_from_colors(colors, texp, cw, rgbm_scale)
 
     def pn_lookup(wg):
         down = None
@@ -439,15 +507,16 @@ def _trial1_full_kernel(meta_ref, fmeta_ref, tex_ref, si_ref, sf_ref,
 
 @functools.partial(jax.jit,
                    static_argnums=(9, 10, 11, 12, 13, 14, 15, 16, 17, 18,
-                                   19))
+                                   19, 20))
 def _trial1_full_call(metaT, fmetaT, texT, si, sf, dmc, pn, lo, hi,
                       T: int, W: int, D: int, ncolors: int, u8_mask: bool,
                       cw: tuple, R: int, pc: int, profile: int, BT: int,
-                      has_asr: bool = False):
+                      has_asr: bool = False, rgbm_scale: float = 0.0):
     B = metaT.shape[1]
     kern = functools.partial(_trial1_full_kernel, T=T, W=W, D=D,
                              ncolors=ncolors, u8_mask=u8_mask, cw=cw,
-                             R=R, pc=pc, profile=profile, has_asr=has_asr)
+                             R=R, pc=pc, profile=profile, has_asr=has_asr,
+                             rgbm_scale=rgbm_scale)
     const_spec = lambda shape: pl.BlockSpec(
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -456,11 +525,11 @@ def _trial1_full_call(metaT, fmetaT, texT, si, sf, dmc, pn, lo, hi,
                    jax.ShapeDtypeStruct((8, B), jnp.float32)),
         grid=(B // BT,),
         in_specs=[
-            pl.BlockSpec((384, BT), lambda i: (0, i),
+            pl.BlockSpec((metaT.shape[0], BT), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((32, BT), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((512, BT), lambda i: (0, i),
+            pl.BlockSpec((texT.shape[0], BT), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             const_spec(si.shape),
             const_spec(sf.shape),
@@ -481,7 +550,8 @@ def _trial1_full_call(metaT, fmetaT, texT, si, sf, dmc, pn, lo, hi,
 
 def trial1_refine_full(tables: RefineTables, meta, fmeta, tex,
                        ncolors: int, u8_mask: bool, cw, R: int, pc: int,
-                       profile: int, BT: int = 128, cw_scale=None):
+                       profile: int, BT: int = 128, cw_scale=None,
+                       rgbm_scale: float = 0.0):
     """Run the full R-round 1-plane refinement in one fused kernel.
 
     Args:
@@ -494,7 +564,7 @@ def trial1_refine_full(tables: RefineTables, meta, fmeta, tex,
     """
     B = meta.shape[0]
     if cw_scale is not None:
-        tex = tex.at[:, 511].set(cw_scale.astype(jnp.float32))
+        tex = tex.at[:, asr_row(tables.T)].set(cw_scale.astype(jnp.float32))
     pad = (-B) % BT
     if pad:
         meta = jnp.pad(meta, ((0, pad), (0, 0)))
@@ -504,7 +574,7 @@ def trial1_refine_full(tables: RefineTables, meta, fmeta, tex,
         meta.T, fmeta.T, tex.T, tables.si, tables.sf, tables.dmc,
         tables.pn, tables.lo, tables.hi, tables.T, tables.W, tables.D,
         ncolors, u8_mask, tuple(float(c) for c in cw), R, pc, profile, BT,
-        cw_scale is not None)
+        cw_scale is not None, float(rgbm_scale))
     oint = oint[:, :B]
     of32 = of32[:, :B]
     W = tables.W
@@ -529,7 +599,8 @@ def _trial2_full_kernel(meta_ref, fmeta_ref, tex_ref, si_ref, sf_ref,
                         dmc_ref, pn_ref, lo_ref, hi_ref,
                         oint_ref, of32_ref, *, T: int, W: int, D: int,
                         ncolors: int, u8_mask: bool, cw: tuple, R: int,
-                        profile: int, has_asr: bool = False):
+                        profile: int, has_asr: bool = False,
+                        rgbm_scale: float = 0.0):
     """All R refinement rounds of a 2-plane single-partition trial in one
     kernel (see _trial1_full_kernel). meta rows: [0:W wg1 | 64 dec-mode |
     65 weight-quant | 66 alive | 67 cq | 68 fmt_req | 69 p2c |
@@ -558,13 +629,9 @@ def _trial2_full_kernel(meta_ref, fmeta_ref, tex_ref, si_ref, sf_ref,
     srow_f = jnp.dot(sf_ref[:], oh_d,
                      preferred_element_type=f32).reshape(T, W, BT)
     srow_inc = (srow_i != 0.0).astype(f32)
-    texp = [tex_ref[ch * 128:ch * 128 + T, :] for ch in range(4)]
+    texp = _texp(tex_ref, T)
     if has_asr:
-        # Per-block alpha-scaled channel weights (USE_ALPHA_WEIGHT): the
-        # scale rides spare row 511 of the tex operand (T <= 125 < 128).
-        asr = tex_ref[511:512, :]
-        cw = (cw[0] * asr, cw[1] * asr, cw[2] * asr,
-              jnp.full_like(asr, jnp.float32(cw[3])))
+        cw = _asr_cw(tex_ref, T, cw)
     is_p2 = [p2c == ch for ch in range(4)]
 
     qidx = jnp.clip(cq - ise.QUANT_6, 0, 16)
@@ -600,18 +667,15 @@ def _trial2_full_kernel(meta_ref, fmeta_ref, tex_ref, si_ref, sf_ref,
     def trial_err(w1, w2, ep0s, ep1s):
         i1 = infill_of(w1)
         i2 = infill_of(w2)
-        errt = None
+        colors = []
         for ch in range(4):
             w_ch = jnp.where(is_p2[ch], i2, i1)
             color = jnp.floor((ep0s[ch] * (64.0 - w_ch)
                                + ep1s[ch] * w_ch + 32.0) * (1.0 / 64.0))
             if u8_mask:
                 color = jnp.floor(color * (1.0 / 256.0)) * 257.0
-            dd = jnp.minimum(jnp.abs(texp[ch] - color), 1e15)
-            term = dd * dd * cw[ch]
-            errt = term if errt is None else errt + term
-        errt = jnp.minimum(errt, _BIG)
-        return jnp.sum(errt, axis=0, keepdims=True)
+            colors.append(color)
+        return _err_from_colors(colors, texp, cw, rgbm_scale)
 
     def pn_lookup(wg):
         down = None
@@ -811,15 +875,17 @@ def _trial2_full_kernel(meta_ref, fmeta_ref, tex_ref, si_ref, sf_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnums=(9, 10, 11, 12, 13, 14, 15, 16, 17, 18))
+                   static_argnums=(9, 10, 11, 12, 13, 14, 15, 16, 17, 18,
+                                   19))
 def _trial2_full_call(metaT, fmetaT, texT, si, sf, dmc, pn, lo, hi,
                       T: int, W: int, D: int, ncolors: int, u8_mask: bool,
                       cw: tuple, R: int, profile: int, BT: int,
-                      has_asr: bool = False):
+                      has_asr: bool = False, rgbm_scale: float = 0.0):
     B = metaT.shape[1]
     kern = functools.partial(_trial2_full_kernel, T=T, W=W, D=D,
                              ncolors=ncolors, u8_mask=u8_mask, cw=cw,
-                             R=R, profile=profile, has_asr=has_asr)
+                             R=R, profile=profile, has_asr=has_asr,
+                             rgbm_scale=rgbm_scale)
     const_spec = lambda shape: pl.BlockSpec(
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -828,11 +894,11 @@ def _trial2_full_call(metaT, fmetaT, texT, si, sf, dmc, pn, lo, hi,
                    jax.ShapeDtypeStruct((8, B), jnp.float32)),
         grid=(B // BT,),
         in_specs=[
-            pl.BlockSpec((384, BT), lambda i: (0, i),
+            pl.BlockSpec((metaT.shape[0], BT), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((16, BT), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((512, BT), lambda i: (0, i),
+            pl.BlockSpec((texT.shape[0], BT), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             const_spec(si.shape),
             const_spec(sf.shape),
@@ -853,7 +919,8 @@ def _trial2_full_call(metaT, fmetaT, texT, si, sf, dmc, pn, lo, hi,
 
 def trial2_refine_full(tables: RefineTables, meta, fmeta, tex,
                        ncolors: int, u8_mask: bool, cw, R: int,
-                       profile: int, BT: int = 128, cw_scale=None):
+                       profile: int, BT: int = 128, cw_scale=None,
+                       rgbm_scale: float = 0.0):
     """Full R-round 2-plane refinement in one fused kernel.
 
     Returns (fmt (R, B), vals (R, B, 8), wg1 (R, B, W), wg2 (R, B, W),
@@ -861,7 +928,7 @@ def trial2_refine_full(tables: RefineTables, meta, fmeta, tex,
     """
     B = meta.shape[0]
     if cw_scale is not None:
-        tex = tex.at[:, 511].set(cw_scale.astype(jnp.float32))
+        tex = tex.at[:, asr_row(tables.T)].set(cw_scale.astype(jnp.float32))
     pad = (-B) % BT
     if pad:
         meta = jnp.pad(meta, ((0, pad), (0, 0)))
@@ -871,7 +938,7 @@ def trial2_refine_full(tables: RefineTables, meta, fmeta, tex,
         meta.T, fmeta.T, tex.T, tables.si, tables.sf, tables.dmc,
         tables.pn, tables.lo, tables.hi, tables.T, tables.W, tables.D,
         ncolors, u8_mask, tuple(float(c) for c in cw), R, profile, BT,
-        cw_scale is not None)
+        cw_scale is not None, float(rgbm_scale))
     oint = oint[:, :B]
     of32 = of32[:, :B]
     W = tables.W
@@ -905,9 +972,9 @@ def pack_meta_full2(wg1, wg2, d_idx, wq, alive, cq, fmt_req, p2c):
 
 
 def pack_meta_full(wgrid, d_idx, wq, alive, cq, cqm, fmt_req, pot, T: int):
-    """(B, 384) meta for the full-trial kernel (fmt_req: (B, pc))."""
+    """(B, meta_rows(T)) meta for the full-trial kernel (fmt_req: (B, pc))."""
     B, W = wgrid.shape
-    meta = jnp.zeros((B, 384), jnp.int32)
+    meta = jnp.zeros((B, meta_rows(T)), jnp.int32)
     meta = meta.at[:, 0:W].set(wgrid)
     meta = meta.at[:, 64].set(d_idx)
     meta = meta.at[:, 65].set(wq)
@@ -922,7 +989,7 @@ def pack_meta_full(wgrid, d_idx, wq, alive, cq, cqm, fmt_req, pot, T: int):
 def _refine2_kernel(meta_ref, tex_ref, si_ref, sf_ref, dmc_ref, pn_ref,
                     oint_ref, of32_ref, *, T: int, W: int, D: int,
                     ncolors: int, u8_mask: bool, cw: tuple,
-                    has_asr: bool = False):
+                    has_asr: bool = False, rgbm_scale: float = 0.0):
     """Two-plane single-partition variant: meta rows 0:W = plane-1 grid,
     256:256+W = plane-2 grid, row 67 = plane-2 component; both planes
     realign against the same stencil (reference realign_weights_decimated
@@ -946,13 +1013,9 @@ def _refine2_kernel(meta_ref, tex_ref, si_ref, sf_ref, dmc_ref, pn_ref,
     # Single partition: endpoints broadcast per channel.
     ep0s = [meta[128 + ch:129 + ch, :].astype(f32) for ch in range(4)]
     ep1s = [meta[144 + ch:145 + ch, :].astype(f32) for ch in range(4)]
-    texp = [tex_ref[ch * 128:ch * 128 + T, :] for ch in range(4)]
+    texp = _texp(tex_ref, T)
     if has_asr:
-        # Per-block alpha-scaled channel weights (USE_ALPHA_WEIGHT): the
-        # scale rides spare row 511 of the tex operand (T <= 125 < 128).
-        asr = tex_ref[511:512, :]
-        cw = (cw[0] * asr, cw[1] * asr, cw[2] * asr,
-              jnp.full_like(asr, jnp.float32(cw[3])))
+        cw = _asr_cw(tex_ref, T, cw)
     is_p2 = [p2c == ch for ch in range(4)]         # (1, BT) each
 
     def infill_of(wg):
@@ -962,18 +1025,15 @@ def _refine2_kernel(meta_ref, tex_ref, si_ref, sf_ref, dmc_ref, pn_ref,
     def trial_err(wg1, wg2):
         i1 = infill_of(wg1)
         i2 = infill_of(wg2)
-        errt = None
+        colors = []
         for ch in range(4):
             w_ch = jnp.where(is_p2[ch], i2, i1)
             color = jnp.floor((ep0s[ch] * (64.0 - w_ch)
                                + ep1s[ch] * w_ch + 32.0) * (1.0 / 64.0))
             if u8_mask:
                 color = jnp.floor(color * (1.0 / 256.0)) * 257.0
-            dd = jnp.minimum(jnp.abs(texp[ch] - color), 1e15)
-            term = dd * dd * cw[ch]
-            errt = term if errt is None else errt + term
-        errt = jnp.minimum(errt, _BIG)
-        return jnp.sum(errt, axis=0, keepdims=True)
+            colors.append(color)
+        return _err_from_colors(colors, texp, cw, rgbm_scale)
 
     err_pre = trial_err(w1, w2)
 
@@ -1063,15 +1123,17 @@ def _refine2_kernel(meta_ref, tex_ref, si_ref, sf_ref, dmc_ref, pn_ref,
          nw2.astype(jnp.int32), jnp.zeros((63 - W, BT), jnp.int32),
          adjusted.astype(jnp.int32)], axis=0)
 
-    of32_ref[:] = jnp.concatenate(
-        [u1, jnp.zeros((128 - T, BT), f32),
-         u2, jnp.zeros((126 - T, BT), f32), err_pre, err_post], axis=0)
+    TS = tex_stride(T)
+    of32_ref[:] = _cat(
+        [u1, jnp.zeros((TS - T, BT), f32),
+         u2, jnp.zeros((TS - T, BT), f32), err_pre, err_post,
+         jnp.zeros((6, BT), f32)])
 
 
-def _refine2_boot_kernel(meta_ref, tex_ref, si_ref, sf_ref, dmc_ref, pn_ref,
-                         oint_ref, of32_ref, *, T: int, W: int, D: int,
-                         ncolors: int, u8_mask: bool, cw: tuple,
-                         has_asr: bool = False):
+def _refine2_boot_kernel(meta_ref, tex_ref, si_ref, sf_ref, dmc_ref,
+                         pn_ref, oint_ref, of32_ref, *, T: int, W: int,
+                         D: int, ncolors: int, u8_mask: bool, cw: tuple,
+                         has_asr: bool = False, rgbm_scale: float = 0.0):
     """Bootstrap: infills of both incoming grids only."""
     meta = meta_ref[:]
     BT = meta.shape[1]
@@ -1085,32 +1147,37 @@ def _refine2_boot_kernel(meta_ref, tex_ref, si_ref, sf_ref, dmc_ref, pn_ref,
                      preferred_element_type=f32).reshape(T, W, BT)
     u1 = jnp.sum(srow_f * w1[None, :, :], axis=1) * (1.0 / 64.0)
     u2 = jnp.sum(srow_f * w2[None, :, :], axis=1) * (1.0 / 64.0)
+    TS = tex_stride(T)
     oint_ref[:] = jnp.zeros((128, BT), jnp.int32)
-    of32_ref[:] = jnp.concatenate(
-        [u1, jnp.zeros((128 - T, BT), f32),
-         u2, jnp.zeros((128 - T, BT), f32)], axis=0)
+    of32_ref[:] = _cat(
+        [u1, jnp.zeros((TS - T, BT), f32),
+         u2, jnp.zeros((TS - T, BT), f32), jnp.zeros((8, BT), f32)])
 
 
 @functools.partial(jax.jit,
-                   static_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14))
+                   static_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14, 15))
 def _refine2_call(metaT, texT, si, sf, dmc, pn,
                   T: int, W: int, D: int, ncolors: int, u8_mask: bool,
-                  cw: tuple, BT: int, boot: bool, has_asr: bool = False):
+                  cw: tuple, BT: int, boot: bool, has_asr: bool = False,
+                  rgbm_scale: float = 0.0):
     B = metaT.shape[1]
+    MR, XR = metaT.shape[0], texT.shape[0]
+    FR = 2 * tex_stride(T) + 8
     body = _refine2_boot_kernel if boot else _refine2_kernel
     kern = functools.partial(body, T=T, W=W, D=D, ncolors=ncolors,
-                             u8_mask=u8_mask, cw=cw, has_asr=has_asr)
+                             u8_mask=u8_mask, cw=cw, has_asr=has_asr,
+                             rgbm_scale=rgbm_scale)
     const_spec = lambda shape: pl.BlockSpec(
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,
         out_shape=(jax.ShapeDtypeStruct((128, B), jnp.int32),
-                   jax.ShapeDtypeStruct((256, B), jnp.float32)),
+                   jax.ShapeDtypeStruct((FR, B), jnp.float32)),
         grid=(B // BT,),
         in_specs=[
-            pl.BlockSpec((384, BT), lambda i: (0, i),
+            pl.BlockSpec((MR, BT), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((512, BT), lambda i: (0, i),
+            pl.BlockSpec((XR, BT), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             const_spec(si.shape),
             const_spec(sf.shape),
@@ -1119,7 +1186,7 @@ def _refine2_call(metaT, texT, si, sf, dmc, pn,
         ],
         out_specs=(pl.BlockSpec((128, BT), lambda i: (0, i),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((256, BT), lambda i: (0, i),
+                   pl.BlockSpec((FR, BT), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)),
     )(metaT, texT, si, sf, dmc, pn)
 
@@ -1141,7 +1208,8 @@ def pack_meta_2plane(wg1, wg2, d_idx, wq, alive, p2c, ep0, ep1):
 
 
 def refine_round_2plane(tables: RefineTables, meta, tex, ncolors: int,
-                        u8_mask: bool, cw, BT: int = 128, cw_scale=None):
+                        u8_mask: bool, cw, BT: int = 128, cw_scale=None,
+                        rgbm_scale: float = 0.0):
     """One fused 2-plane refine round (ncolors=0 -> bootstrap infill only).
 
     Returns (nw1 (B, W) i32, nw2 (B, W) i32, adjusted (B,) bool,
@@ -1149,7 +1217,7 @@ def refine_round_2plane(tables: RefineTables, meta, tex, ncolors: int,
     """
     B = meta.shape[0]
     if cw_scale is not None:
-        tex = tex.at[:, 511].set(cw_scale.astype(jnp.float32))
+        tex = tex.at[:, asr_row(tables.T)].set(cw_scale.astype(jnp.float32))
     pad = (-B) % BT
     if pad:
         meta = jnp.pad(meta, ((0, pad), (0, 0)))
@@ -1158,34 +1226,40 @@ def refine_round_2plane(tables: RefineTables, meta, tex, ncolors: int,
                                tables.dmc, tables.pn, tables.T, tables.W,
                                tables.D, ncolors, u8_mask,
                                tuple(float(c) for c in cw), BT,
-                               ncolors == 0, cw_scale is not None)
+                               ncolors == 0, cw_scale is not None,
+                               float(rgbm_scale))
     oint = oint[:, :B]
     of32 = of32[:, :B]
     W, T = tables.W, tables.T
+    TS = tex_stride(T)
     return (oint[0:W, :].T, oint[64:64 + W, :].T, oint[127, :] != 0,
-            of32[0:T, :].T, of32[128:128 + T, :].T,
-            of32[254, :], of32[255, :])
+            of32[0:T, :].T, of32[TS:TS + T, :].T,
+            of32[2 * TS, :], of32[2 * TS + 1, :])
 
 
 @functools.partial(jax.jit,
-                   static_argnums=(6, 7, 8, 9, 10, 11, 12, 13))
+                   static_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14))
 def _refine_call(metaT, texT, si, sf, dmc, pn,
                  T: int, W: int, D: int, ncolors: int, u8_mask: bool,
-                 cw: tuple, BT: int, has_asr: bool = False):
+                 cw: tuple, BT: int, has_asr: bool = False,
+                 rgbm_scale: float = 0.0):
     B = metaT.shape[1]
+    MR, XR = metaT.shape[0], texT.shape[0]
+    FR = tex_stride(T) + 8
     kern = functools.partial(_refine_kernel, T=T, W=W, D=D, ncolors=ncolors,
-                             u8_mask=u8_mask, cw=cw, has_asr=has_asr)
+                             u8_mask=u8_mask, cw=cw, has_asr=has_asr,
+                             rgbm_scale=rgbm_scale)
     const_spec = lambda shape: pl.BlockSpec(
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,
         out_shape=(jax.ShapeDtypeStruct((128, B), jnp.int32),
-                   jax.ShapeDtypeStruct((256, B), jnp.float32)),
+                   jax.ShapeDtypeStruct((FR, B), jnp.float32)),
         grid=(B // BT,),
         in_specs=[
-            pl.BlockSpec((384, BT), lambda i: (0, i),
+            pl.BlockSpec((MR, BT), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((512, BT), lambda i: (0, i),
+            pl.BlockSpec((XR, BT), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             const_spec(si.shape),
             const_spec(sf.shape),
@@ -1194,7 +1268,7 @@ def _refine_call(metaT, texT, si, sf, dmc, pn,
         ],
         out_specs=(pl.BlockSpec((128, BT), lambda i: (0, i),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((256, BT), lambda i: (0, i),
+                   pl.BlockSpec((FR, BT), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)),
     )(metaT, texT, si, sf, dmc, pn)
 
@@ -1381,10 +1455,10 @@ class RefineTables:
 
 
 def pack_meta(wgrid, d_idx, wq, alive, ep0i, ep1i, pot, T: int):
-    """Assemble the (B, 384) int32 meta operand (see module docstring)."""
+    """Assemble the (B, meta_rows(T)) int32 meta operand."""
     B = wgrid.shape[0]
     W = wgrid.shape[1]
-    meta = jnp.zeros((B, 384), jnp.int32)
+    meta = jnp.zeros((B, meta_rows(T)), jnp.int32)
     meta = meta.at[:, 0:W].set(wgrid)
     meta = meta.at[:, 64].set(d_idx)
     meta = meta.at[:, 65].set(wq)
@@ -1396,16 +1470,18 @@ def pack_meta(wgrid, d_idx, wq, alive, ep0i, ep1i, pot, T: int):
 
 
 def pack_tex(texels):
-    """(B, T, 4) -> (B, 512) channel planes at 128-lane strides."""
+    """(B, T, 4) -> (B, tex_rows(T)) channel planes at tex_stride(T)."""
     B, T, _ = texels.shape
-    tex = jnp.zeros((B, 512), jnp.float32)
+    ts = tex_stride(T)
+    tex = jnp.zeros((B, tex_rows(T)), jnp.float32)
     for ch in range(4):
-        tex = tex.at[:, ch * 128:ch * 128 + T].set(texels[..., ch])
+        tex = tex.at[:, ch * ts:ch * ts + T].set(texels[..., ch])
     return tex
 
 
 def refine_round_1plane(tables: RefineTables, meta, tex, ncolors: int,
-                        u8_mask: bool, cw, BT: int = 128, cw_scale=None):
+                        u8_mask: bool, cw, BT: int = 128, cw_scale=None,
+                        rgbm_scale: float = 0.0):
     """Run one fused refine round.
 
     Args:
@@ -1416,7 +1492,7 @@ def refine_round_1plane(tables: RefineTables, meta, tex, ncolors: int,
     """
     B = meta.shape[0]
     if cw_scale is not None:
-        tex = tex.at[:, 511].set(cw_scale.astype(jnp.float32))
+        tex = tex.at[:, asr_row(tables.T)].set(cw_scale.astype(jnp.float32))
     pad = (-B) % BT
     if pad:
         meta = jnp.pad(meta, ((0, pad), (0, 0)))
@@ -1425,8 +1501,9 @@ def refine_round_1plane(tables: RefineTables, meta, tex, ncolors: int,
                               tables.dmc, tables.pn, tables.T, tables.W,
                               tables.D, ncolors, u8_mask,
                               tuple(float(c) for c in cw), BT,
-                              cw_scale is not None)
+                              cw_scale is not None, float(rgbm_scale))
     oint = oint[:, :B]
     of32 = of32[:, :B]
+    TS = tex_stride(tables.T)
     return (oint[0:tables.W, :].T, oint[64, :] != 0, of32[0:tables.T, :].T,
-            of32[128, :], of32[129, :])
+            of32[TS, :], of32[TS + 1, :])

@@ -168,7 +168,8 @@ def test_dimage_set(small_png, tmp_path):
                     "-dimage", "-silent"]) == 0
     stem = str(tmp_path / "dimg")
     for suffix in ("partitioning", "weight_plane2", "weight_density",
-                   "weight_quant", "color_quant", "cem_index"):
+                   "weight_quant", "color_quant", "cem_index",
+                   "cem_components", "cem_style", "cem_hdr"):
         p = f"{stem}_diag_{suffix}.png"
         assert os.path.exists(p), p
         img = np.asarray(image_io.load_image(p)[0])

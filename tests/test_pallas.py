@@ -286,9 +286,14 @@ def test_msearch_kernel_two_plane():
     assert (guq2[same] == wuq2[same]).mean() > 0.995
 
 
-def test_trial1_records_kernel_vs_xla():
-    """End-to-end trial1_records: interpret-mode kernels vs pure XLA."""
-    ctx = _ctx(4, 4, Quality.FASTEST)
+@pytest.mark.parametrize("bx,by", [(4, 4), (12, 12)])
+def test_trial1_records_kernel_vs_xla(bx, by):
+    """End-to-end trial1_records: interpret-mode kernels vs pure XLA.
+
+    12x12 covers the T=144 > 128 operand layout (tex_stride/meta_rows,
+    see ops/refine_pallas.py) that 2D kernel coverage previously lacked
+    (the reference's biggest 2D footprint, astcenc_block_sizes.cpp)."""
+    ctx = _ctx(bx, by, Quality.FASTEST)
     et = trial.build_encoder_tables(ctx.bsd)
     cfgs = compress_mod._CfgStatic(ctx.config)
     N = 32
@@ -332,6 +337,54 @@ def test_trial1_records_kernel_vs_xla():
             b, wk[same].reshape((-1, 1) + (1,) * (b.ndim - 2)), axis=1)
         agree = (sel_a == sel_b).mean()
         assert agree > 0.97, (k, agree)
+
+
+def test_trial1_records_kernel_vs_xla_rgbm():
+    """RGBM trial metric (M-demultiplied SSE + M==0 rejection) inside the
+    fused kernels vs the XLA formulation (reference:
+    astcenc_decompress_symbolic.cpp:366-400)."""
+    from astcenc_tpu.config import Flags
+    cfg = api.config_init(Profile.LDR, 4, 4, 1, Quality.FASTEST,
+                          Flags.MAP_RGBM)
+    ctx = api.context_alloc(cfg)
+    et = trial.build_encoder_tables(ctx.bsd)
+    cfgs = compress_mod._CfgStatic(ctx.config)
+    assert cfgs.rgbm_scale > 0.0
+    N = 32
+    T = ctx.bsd.texel_count
+    rng = np.random.RandomState(17)
+    tex_np = np.floor(rng.rand(N, T, 4) * 255.0).astype(np.float32) * 257.0
+    # Keep M well away from zero for most blocks, near zero for a few so
+    # the rejection path is exercised.
+    tex_np[:, :, 3] = np.maximum(tex_np[:, :, 3], 2 * 257.0)
+    tex_np[:4, :, 3] = 257.0
+    texels = jnp.asarray(tex_np)
+    st = compress_mod.make_block_state(texels, cfgs.channel_weights, 1)
+    pot = jnp.zeros((N, T), jnp.int32)
+    counts = jnp.zeros((N, 4), jnp.int32).at[:, 0].set(T)
+    ql = jnp.full((N,), 11, jnp.int32)
+    ext = jnp.ones((N,), bool)
+
+    recs_k = trial.trial1_records(st, et, cfgs, 1, False, pot, counts, 1,
+                                  False, ql, ext)
+    import astcenc_tpu.ops.gather_pallas as gp
+    orig = gp._use_pallas
+    gp._use_pallas = lambda: False
+    try:
+        recs_x = trial.trial1_records(st, et, cfgs, 1, False, pot, counts,
+                                      1, False, ql, ext)
+    finally:
+        gp._use_pallas = orig
+
+    err_k = np.asarray(recs_k["err"])
+    err_x = np.asarray(recs_x["err"])
+    live = err_x < 1e29
+    np.testing.assert_allclose(err_k[live], err_x[live], rtol=3e-4)
+    # The M==0 rejection must fire identically.
+    np.testing.assert_array_equal(err_k >= 1e29, err_x >= 1e29)
+    wk = err_k.argmin(axis=1)
+    wx = err_x.argmin(axis=1)
+    assert (wk == wx).mean() > 0.9
 
 
 def test_alpha_scale_ones_bit_identical():
