@@ -11,8 +11,12 @@ PY       ?= python
 
 .PHONY: test gate oracle native bench quality
 
+# Per-file pytest processes: one long-lived pytest over tests/ can
+# segfault jax's XLA:CPU AOT cache loader on small hosts (see
+# tests/conftest.py); run_suite.sh contains the blast radius and shares
+# compiles through a persistent cache.
 test:
-	$(PY) -m pytest tests/ -q
+	bash tools/run_suite.sh
 
 oracle:
 	@test -x $(REFBUILD)/Source/astcenc-native || ( \

@@ -19,14 +19,15 @@ import dataclasses
 import numpy as np
 
 from .codec import decode_tables, decompress
-from .config import (PRESET_MAX, ASTCConfig, Flags, Profile, Quality, Swizzle,
-                     config_init, validate_config)
+from .config import (PRESET_MAX, ASTCConfig, ConfigError, Error, Flags,
+                     Profile, Quality, Swizzle, config_init, error_string,
+                     validate_config)
 from .tables.bsd import build_bsd
 
 __all__ = [
-    "Profile", "Quality", "Flags", "Swizzle", "ASTCConfig",
-    "config_init", "context_alloc", "compress_image", "decompress_image",
-    "Context",
+    "Profile", "Quality", "Flags", "Swizzle", "ASTCConfig", "Error",
+    "ConfigError", "config_init", "context_alloc", "compress_image",
+    "decompress_image", "get_error_string", "Context",
 ]
 
 
@@ -176,9 +177,16 @@ def compress_cancel(ctx: Context) -> None:
     ctx._cancel_requested = True
 
 
-def get_error_string(status) -> str:
-    """Human-readable error text (reference: astcenc_get_error_string)."""
-    return str(status)
+def get_error_string(status) -> str | None:
+    """Stable error-code string (reference: astcenc_get_error_string,
+    astcenc_entry.cpp:1519-1558).
+
+    Accepts an Error value, an int, or a raised ConfigError (whose .code is
+    used). Out-of-enum values return None, matching the reference nullptr.
+    """
+    if isinstance(status, ConfigError):
+        status = status.code
+    return error_string(status)
 
 
 def get_block_info(ctx: Context, block: np.ndarray) -> dict:

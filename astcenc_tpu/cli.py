@@ -102,7 +102,7 @@ def _parse_options(rest, need_block):
         "swz_decode": (0, 1, 2, 3), "silent": False, "yflip": False,
         "jobs": 0, "repeats": 1, "overrides": {}, "dblimit": None,
         "a_radius": 0, "dtrace": None, "dimage": None, "zdim": 1,
-        "mpsnr": (-10, 10),
+        "mpsnr": (-10, 10), "preprocess": None,
     }
     i = 0
     if need_block:
@@ -143,6 +143,12 @@ def _parse_options(rest, need_block):
             ov["rgbm_m_scale"] = float(arg()); i += 1
         elif a == "-perceptual":
             opts["flags"] |= Flags.USE_PERCEPTUAL
+        elif a in ("-pp-normalize", "-pp-premultiply"):
+            # Image preprocess passes (reference:
+            # astcenccli_toplevel.cpp:626-649): at most one may be used.
+            if opts["preprocess"] is not None:
+                raise CliError("Only a single image preprocess can be used")
+            opts["preprocess"] = a[4:]
         elif a == "-decode_unorm8":
             opts["flags"] |= Flags.USE_DECODE_UNORM8
         elif a == "-esw":
@@ -261,6 +267,48 @@ def _load_for_encode(path, opts):
     return data, is_hdr, ncomp
 
 
+def _srgb_to_linear(a):
+    """Per-component sRGB EOTF (reference: astcenccli_toplevel.cpp:1459)."""
+    return np.where(a <= 0.04045, a * (1.0 / 12.92),
+                    np.power(np.maximum((a + 0.055) * (1.0 / 1.055), 0.0),
+                             2.4)).astype(np.float32)
+
+
+def _linear_to_srgb(a):
+    """Per-component sRGB OETF (reference: astcenccli_toplevel.cpp:1477)."""
+    return np.where(a <= 0.0031308, a * 12.92,
+                    1.055 * np.power(np.maximum(a, 0.0), 1.0 / 2.4)
+                    - 0.055).astype(np.float32)
+
+
+def _apply_preprocess(data, kind, profile):
+    """Image preprocess passes: -pp-normalize re-normalizes RGB as a unit
+    vector; -pp-premultiply multiplies RGB by alpha in linear space
+    (reference: image_preprocess_normalize / image_preprocess_premultiply,
+    astcenccli_toplevel.cpp:1418-1540). Returns float32 data in [0, 1]
+    (the reference always emits an F32 image here)."""
+    f = (data.astype(np.float32) / 255.0 if data.dtype == np.uint8
+         else data.astype(np.float32))
+    if f.shape[-1] < 4:
+        pad = np.ones(f.shape[:-1] + (4 - f.shape[-1],), np.float32)
+        if f.shape[-1] < 3:
+            pad[..., :3 - f.shape[-1]] = 0.0
+        f = np.concatenate([f, pad], axis=-1)
+    if kind == "normalize":
+        v = f[..., :3] * 2.0 - 1.0
+        norm = np.sqrt(np.sum(v * v, axis=-1, keepdims=True))
+        v = v / norm                      # zero vectors -> NaN, clamped later
+        f = np.concatenate([(v + 1.0) * 0.5, f[..., 3:4]], axis=-1)
+    else:  # premultiply
+        rgb = f[..., :3]
+        if profile == Profile.LDR_SRGB:
+            rgb = _linear_to_srgb(_srgb_to_linear(rgb) * f[..., 3:4])
+        else:
+            rgb = rgb * f[..., 3:4]
+        f = np.concatenate([rgb, f[..., 3:4]], axis=-1)
+    return f
+
+
 def _compress_repeat(ctx, data, opts, tracer=None):
     """Compress with -repeats timing semantics: best-of-N coding time
     (reference: astcenccli_toplevel.cpp:2185-2218)."""
@@ -297,6 +345,8 @@ def _print_performance(n_texels, coding_time, decode_time=None,
 def _do_compress(profile, in_path, out_path, opts):
     tstart = time.perf_counter()
     data, _, _ = _load_for_encode(in_path, opts)
+    if opts.get("preprocess"):
+        data = _apply_preprocess(data, opts["preprocess"], profile)
     ctx = _make_context(profile, opts["block"], opts["quality"], opts)
     tracer = None
     if opts.get("dtrace"):
@@ -490,6 +540,8 @@ def _do_decompress(profile, in_path, out_path, opts):
 def _do_roundtrip(profile, in_path, out_path, opts):
     tstart = time.perf_counter()
     data, is_hdr, ncomp = _load_for_encode(in_path, opts)
+    if opts.get("preprocess"):
+        data = _apply_preprocess(data, opts["preprocess"], profile)
     ctx = _make_context(profile, opts["block"], opts["quality"], opts)
     blocks, tcode = _compress_repeat(ctx, data, opts)
     if data.ndim == 4:

@@ -572,12 +572,12 @@ def compress_image(ctx, image, swizzle=(0, 1, 2, 3),
         from ..ops import softfloat as sf
         f = image.astype(np.float32)
         lns = np.asarray(sf.float_to_lns(jnp.asarray(f)))
-        unorm = np.clip(f, 0.0, 1.0) * 65535.0
+        unorm = _encode_unorm_sanitized(f)
         data = lns.copy()
         if profile == 2:  # HDR RGB + LDR alpha
             data[..., 3] = unorm[..., 3]
     else:
-        data = np.clip(image.astype(np.float32), 0.0, 1.0) * 65535.0
+        data = _encode_unorm_sanitized(image.astype(np.float32))
 
     nx = (W + bx - 1) // bx
     ny = (H + by - 1) // by
@@ -651,6 +651,19 @@ def compress_image(ctx, image, swizzle=(0, 1, 2, 3),
         if progress_callback is not None:
             progress_callback(min(100.0, 100.0 * (lo + m) / n))
     return np.concatenate(outs, axis=0)
+
+
+def _encode_unorm_sanitized(f: np.ndarray) -> np.ndarray:
+    """Unorm-encode unconstrained float input to [0, 65535].
+
+    NaN maps to 0 and +/-Inf clamp to the range ends, matching the
+    reference's encode_texel_unorm (astcenc_image.cpp:129-147: "clamp
+    because data can come from an unconstrained float. This will replace
+    NaNs with zero").
+    """
+    scaled = f * 65535.0
+    # max(NaN, 0) -> 0 under np.fmax ordered-compare semantics
+    return np.fmin(np.fmax(scaled, 0.0), 65535.0)
 
 
 def _apply_load_swizzle(image, swizzle):

@@ -126,8 +126,57 @@ _PRESETS_LOW = (
 _INT_FIELDS = 10  # fields 1..10 are integers (rtn rounding on interpolation)
 
 
+class Error(enum.IntEnum):
+    """Stable API error codes (reference: astcenc_error, astcenc.h:207-236)."""
+
+    SUCCESS = 0
+    ERR_OUT_OF_MEM = 1
+    ERR_BAD_CPU_FLOAT = 2
+    ERR_BAD_PARAM = 3
+    ERR_BAD_BLOCK_SIZE = 4
+    ERR_BAD_PROFILE = 5
+    ERR_BAD_QUALITY = 6
+    ERR_BAD_SWIZZLE = 7
+    ERR_BAD_FLAGS = 8
+    ERR_BAD_CONTEXT = 9
+    ERR_NOT_IMPLEMENTED = 10
+    ERR_BAD_DECODE_MODE = 11
+    ERR_DTRACE_FAILURE = 12
+
+
+_ERROR_STRINGS = {
+    Error.SUCCESS: "ASTCENC_SUCCESS",
+    Error.ERR_OUT_OF_MEM: "ASTCENC_ERR_OUT_OF_MEM",
+    Error.ERR_BAD_CPU_FLOAT: "ASTCENC_ERR_BAD_CPU_FLOAT",
+    Error.ERR_BAD_PARAM: "ASTCENC_ERR_BAD_PARAM",
+    Error.ERR_BAD_BLOCK_SIZE: "ASTCENC_ERR_BAD_BLOCK_SIZE",
+    Error.ERR_BAD_PROFILE: "ASTCENC_ERR_BAD_PROFILE",
+    Error.ERR_BAD_QUALITY: "ASTCENC_ERR_BAD_QUALITY",
+    Error.ERR_BAD_SWIZZLE: "ASTCENC_ERR_BAD_SWIZZLE",
+    Error.ERR_BAD_FLAGS: "ASTCENC_ERR_BAD_FLAGS",
+    Error.ERR_BAD_CONTEXT: "ASTCENC_ERR_BAD_CONTEXT",
+    Error.ERR_NOT_IMPLEMENTED: "ASTCENC_ERR_NOT_IMPLEMENTED",
+    Error.ERR_BAD_DECODE_MODE: "ASTCENC_ERR_BAD_DECODE_MODE",
+    Error.ERR_DTRACE_FAILURE: "ASTCENC_ERR_DTRACE_FAILURE",
+}
+
+
+def error_string(status) -> str | None:
+    """String form of an error code (reference: astcenc_get_error_string,
+    astcenc_entry.cpp:1519-1558); None for out-of-enum values, matching the
+    reference's nullptr."""
+    try:
+        return _ERROR_STRINGS[Error(int(status))]
+    except (ValueError, KeyError):
+        return None
+
+
 class ConfigError(ValueError):
-    pass
+    """Config/parameter validation failure carrying a stable error code."""
+
+    def __init__(self, message: str, code: Error = Error.ERR_BAD_PARAM):
+        super().__init__(message)
+        self.code = Error(code)
 
 
 def _flt2int_rtn(v: float) -> int:
@@ -142,7 +191,7 @@ def config_init(profile: Profile, block_x: int, block_y: int,
     _validate_block_size(block_x, block_y, block_z)
 
     if quality < 0.0 or quality > 100.0:
-        raise ConfigError("quality out of range")
+        raise ConfigError("quality out of range", Error.ERR_BAD_QUALITY)
 
     texels = block_x * block_y * block_z
     ltexels = math.log(texels) / math.log(10.0)
@@ -201,7 +250,7 @@ def config_init(profile: Profile, block_x: int, block_y: int,
         cfg.tune_db_limit = 999.0
         cfg.tune_search_mode0_enable = 0.0
     elif profile not in (Profile.LDR, Profile.LDR_SRGB):
-        raise ConfigError("bad profile")
+        raise ConfigError("bad profile", Error.ERR_BAD_PROFILE)
 
     _validate_flags(profile, flags)
 
@@ -227,10 +276,10 @@ def config_init(profile: Profile, block_x: int, block_y: int,
 def _validate_block_size(x, y, z):
     if z <= 1:
         if not is_legal_2d_block_size(x, y):
-            raise ConfigError(f"illegal block size {x}x{y}")
+            raise ConfigError(f"illegal block size {x}x{y}", Error.ERR_BAD_BLOCK_SIZE)
     else:
         if not is_legal_3d_block_size(x, y, z):
-            raise ConfigError(f"illegal block size {x}x{y}x{z}")
+            raise ConfigError(f"illegal block size {x}x{y}x{z}", Error.ERR_BAD_BLOCK_SIZE)
 
 
 def _validate_flags(profile, flags):
@@ -238,10 +287,10 @@ def _validate_flags(profile, flags):
     for f in Flags:
         all_flags |= f
     if flags & ~all_flags:
-        raise ConfigError("unknown flags")
+        raise ConfigError("unknown flags", Error.ERR_BAD_FLAGS)
     exclusive = (Flags.MAP_NORMAL | Flags.MAP_RGBM)
     if bin(int(flags) & int(exclusive)).count("1") > 1:
-        raise ConfigError("mutually exclusive map flags")
+        raise ConfigError("mutually exclusive map flags", Error.ERR_BAD_FLAGS)
 
 
 def validate_config(config: ASTCConfig) -> None:

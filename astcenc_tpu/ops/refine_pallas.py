@@ -193,9 +193,8 @@ def _refine_kernel(meta_ref, tex_ref, si_ref, sf_ref, dmc_ref, pn_ref,
         # Bootstrap mode: no realign — just the infill of the incoming grid
         # (round 0's least-squares refit input) and its trial error.
         undec0 = jnp.sum(srow_f * w64[None, :, :], axis=1) * (1.0 / 64.0)
-        oint_ref[:] = jnp.concatenate(
-            [w64.astype(jnp.int32), jnp.zeros((128 - W, BT), jnp.int32)],
-            axis=0)
+        oint_ref[:] = _cat(
+            [w64.astype(jnp.int32), jnp.zeros((128 - W, BT), jnp.int32)])
         of32_ref[:] = _cat(
             [undec0, jnp.zeros((TS - T, BT), f32), err_pre, err_pre,
              jnp.zeros((6, BT), f32)])
@@ -276,11 +275,11 @@ def _refine_kernel(meta_ref, tex_ref, si_ref, sf_ref, dmc_ref, pn_ref,
     err_post = trial_err(wgrid)
     undec = jnp.sum(srow_f * wgrid[None, :, :], axis=1) * (1.0 / 64.0)
 
-    oint_ref[:] = jnp.concatenate(
+    oint_ref[:] = _cat(
         [wgrid.astype(jnp.int32),
          jnp.zeros((64 - W, BT), jnp.int32),
          adjusted.astype(jnp.int32),
-         jnp.zeros((63, BT), jnp.int32)], axis=0)
+         jnp.zeros((63, BT), jnp.int32)])
 
     of32_ref[:] = _cat(
         [undec, jnp.zeros((TS - T, BT), f32), err_pre, err_post,
@@ -501,8 +500,8 @@ def _trial1_full_kernel(meta_ref, fmeta_ref, tex_ref, si_ref, sf_ref,
             [x if x.ndim == 2 else x for x in rrows], axis=0))
 
     oint_ref[:] = jnp.concatenate(oint_rows, axis=0)
-    of32_ref[:] = jnp.concatenate(
-        of32_rows + [jnp.zeros((8 - R - 1, BT), f32)], axis=0)
+    of32_ref[:] = _cat(
+        of32_rows + [jnp.zeros((8 - R - 1, BT), f32)])
 
 
 @functools.partial(jax.jit,
@@ -867,11 +866,11 @@ def _trial2_full_kernel(meta_ref, fmeta_ref, tex_ref, si_ref, sf_ref,
         rrows += [jnp.zeros((64 - W, BT), jnp.int32)]
         rrows += [wg2.astype(jnp.int32)]
         rrows += [jnp.zeros((128 - 64 - W, BT), jnp.int32)]
-        oint_rows.append(jnp.concatenate(rrows, axis=0))
+        oint_rows.append(_cat(rrows))
 
     oint_ref[:] = jnp.concatenate(oint_rows, axis=0)
-    of32_ref[:] = jnp.concatenate(
-        of32_rows + [jnp.zeros((8 - R - 1, BT), jnp.float32)], axis=0)
+    of32_ref[:] = _cat(
+        of32_rows + [jnp.zeros((8 - R - 1, BT), jnp.float32)])
 
 
 @functools.partial(jax.jit,
@@ -1118,10 +1117,10 @@ def _refine2_kernel(meta_ref, tex_ref, si_ref, sf_ref, dmc_ref, pn_ref,
     u1 = jnp.sum(srow_f * nw1[None, :, :], axis=1) * (1.0 / 64.0)
     u2 = jnp.sum(srow_f * nw2[None, :, :], axis=1) * (1.0 / 64.0)
 
-    oint_ref[:] = jnp.concatenate(
+    oint_ref[:] = _cat(
         [nw1.astype(jnp.int32), jnp.zeros((64 - W, BT), jnp.int32),
          nw2.astype(jnp.int32), jnp.zeros((63 - W, BT), jnp.int32),
-         adjusted.astype(jnp.int32)], axis=0)
+         adjusted.astype(jnp.int32)])
 
     TS = tex_stride(T)
     of32_ref[:] = _cat(
@@ -1389,9 +1388,12 @@ def _make_lut(qidx_row, lo_ref, hi_ref):
     def lut(rows):
         K = len(rows)
         Kp = (K + 7) & ~7
+        # NOTE: never emit a zero-row pad — Mosaic rejects zero-size vector
+        # types on hardware ("vector types must have positive constant
+        # sizes") even though interpret mode accepts them.
+        pad = [jnp.zeros((Kp - K, BT), jnp.int32)] if Kp > K else []
         vals = jnp.concatenate(
-            [jnp.clip(r, 0, 255) for r in rows]
-            + [jnp.zeros((Kp - K, BT), jnp.int32)], axis=0)   # (Kp, BT)
+            [jnp.clip(r, 0, 255) for r in rows] + pad, axis=0)   # (Kp, BT)
         # Resolve lookups with the sublane hardware gather, which handles
         # one (8, lanes) tile at a time: for each 8-row group of requests,
         # gather from each 8-row chunk of the table and keep the in-range

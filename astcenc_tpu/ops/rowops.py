@@ -419,11 +419,15 @@ def pack_ldr_rows(ep0, ep1, rgbs, req_fmt, qidx, lut):
     c0i0, c1i0 = _nudge_quant(c0, c1)
     done0 = (_sum3(c0i0) <= _sum3(c1i0))
 
+    # The done mask rides the loop carry as int32, not bool: Mosaic cannot
+    # legalize scf.yield of an i1 vector whose layout diverges from the
+    # loop's expected tiled layout ("failed to legalize operation
+    # 'scf.yield'" on v5e), while i32 carries are fine.
     def nudge_cond(carry):
-        return ~jnp.all(carry[0])
+        return ~jnp.all(carry[0] != 0)
 
     def nudge_body(carry):
-        done, it = carry[0], carry[1]
+        done, it = carry[0] != 0, carry[1]
         c0v = list(carry[2:6])
         c1v = list(carry[6:10])
         o0 = list(carry[10:14])
@@ -435,10 +439,11 @@ def pack_ldr_rows(ep0, ep1, rgbs, req_fmt, qidx, lut):
         newly = ok & ~done
         o0 = [jnp.where(newly, c0i[i], o0[i]) for i in range(4)]
         o1 = [jnp.where(newly, c1i[i], o1[i]) for i in range(4)]
-        return tuple([done | ok, it + 1] + c0n + c1n + o0 + o1)
+        return tuple([(done | ok).astype(jnp.int32), it + 1]
+                     + c0n + c1n + o0 + o1)
 
-    init = tuple([done0, jnp.zeros_like(rtn_a0)] + list(c0) + list(c1)
-                 + c0i0 + c1i0)
+    init = tuple([done0.astype(jnp.int32), jnp.zeros_like(rtn_a0)]
+                 + list(c0) + list(c1) + c0i0 + c1i0)
     fin = jax.lax.while_loop(nudge_cond, nudge_body, init)
     e0q = list(fin[10:14])
     e1q = list(fin[14:18])

@@ -2,11 +2,22 @@
 """Benchmark: ASTC compression throughput at 6x6 -medium (BASELINE.json).
 
 Prints one JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N,
+   "degraded": bool, "disabled_kernels": "..."}
 
 Baseline: reference astcenc-avx2 Kodak 6x6 -medium = 9.48 MT/s on a 6-core
 i5-9600K (BASELINE.md). Run on whatever jax.devices() provides (one TPU chip
 under the driver; CPU with JAX_PLATFORMS=cpu).
+
+Structure:
+  1. Kernel compile gate: the warmup dispatch compiles every Pallas kernel
+     family with the real Mosaic compiler (this is the gate that round 2
+     lacked — interpret-mode tests cannot catch hardware-only Mosaic
+     rejections).
+  2. Fallback ladder, one kernel family at a time, so a single broken
+     family costs only that family's speedup — never the whole kernel set.
+  3. Pipelined dispatch: keep ASTC_PIPELINE chunks in flight so the device
+     never idles waiting on the host fetch of the previous chunk.
 """
 
 import json
@@ -19,6 +30,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np  # noqa: E402
 
 BASELINE_MTS = 9.48
+
+# One-family-at-a-time fallback tiers (VERDICT r2 weak #4): each tier
+# disables the family most likely to be the culprit next, so a compile
+# failure degrades minimally instead of falling off a cliff.
+FALLBACK_TIERS = (
+    "",
+    "refine",
+    "msearch",
+    "refine,msearch",
+    "refine,msearch,psearch",
+    "refine,msearch,psearch,gather",
+)
 
 
 def main():
@@ -65,7 +88,6 @@ def main():
             [texels_np, np.broadcast_to(texels_np[:1],
                                         (pad,) + texels_np.shape[1:])], 0)
     reps = int(os.environ.get("ASTC_BENCH_REPS", "5"))
-    nchunks = texels_np.shape[0] // chunk
     # Distinct buffers per (rep, chunk) — a repeated identical dispatch can
     # be memoized by the device tunnel and report fantasy throughput.
     rng = np.random.RandomState(1)
@@ -78,12 +100,11 @@ def main():
 
     fn = compress_mod.compress_symbolic_batch_mono
 
-    # Warmup / compile (single monolithic program); fetch to host — on
+    # Kernel compile gate + fallback ladder. The warmup dispatch forces
+    # Mosaic compilation of every Pallas kernel family; fetch to host — on
     # tunneled backends block_until_ready can return before execution ends.
-    # Safety ladder: if a Pallas kernel family fails to compile on this
-    # backend, fall back to the XLA formulation rather than losing the
-    # whole benchmark run.
-    for fallback in ("", "msearch", "msearch,refine,psearch,gather"):
+    disabled = None
+    for fallback in FALLBACK_TIERS:
         if fallback:
             print(f"bench: retrying with ASTC_DISABLE_KERNELS={fallback}",
                   file=sys.stderr)
@@ -92,31 +113,45 @@ def main():
         try:
             np.asarray(fn(ctx._dtables_key, ctx._enc_key, cfgs,
                           all_chunks[0]))
+            disabled = fallback
             break
         except Exception as e:      # noqa: BLE001 - any compile/run error
             print(f"bench: warmup failed ({type(e).__name__}: {e})",
                   file=sys.stderr)
-    else:
+    if disabled is None:
         raise SystemExit("bench: all kernel fallbacks failed")
 
-    # Serialized dispatch+fetch per chunk: block_until_ready alone does not
-    # reliably wait on tunneled device backends, and deep in-flight queues
-    # of this memory-heavy program thrash the device allocator.
+    # Pipelined dispatch: keep `depth` chunks in flight. np.asarray forces
+    # the host fetch (block_until_ready alone does not reliably wait on
+    # tunneled device backends); fetching chunk i-depth while i is on the
+    # device overlaps PCIe/tunnel transfer with compute.
+    depth = max(1, int(os.environ.get("ASTC_PIPELINE", "2")))
     t0 = time.perf_counter()
+    pending = []
     for ch in all_chunks:
         ti = time.perf_counter()
-        np.asarray(fn(ctx._dtables_key, ctx._enc_key, cfgs, ch))
+        pending.append(fn(ctx._dtables_key, ctx._enc_key, cfgs, ch))
+        if len(pending) >= depth:
+            np.asarray(pending.pop(0))
         if os.environ.get("ASTC_BENCH_VERBOSE"):
             print(f"iter: {time.perf_counter()-ti:.3f}s", flush=True)
+    for p in pending:
+        np.asarray(p)
     dt = (time.perf_counter() - t0) / reps
 
     mts = n_texels / dt / 1e6
-    print(json.dumps({
+    out = {
         "metric": "compress_6x6_medium_throughput",
         "value": round(mts, 3),
         "unit": "Mtexels/s",
         "vs_baseline": round(mts / BASELINE_MTS, 3),
-    }))
+    }
+    if disabled:
+        # Explicit failure signal for pipelines keying on this artifact
+        # (a fallback-ladder completion is a degraded run, not a success).
+        out["degraded"] = True
+        out["disabled_kernels"] = disabled
+    print(json.dumps(out))
 
 
 def _blockify(data, block):

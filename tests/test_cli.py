@@ -174,3 +174,69 @@ def test_dimage_set(small_png, tmp_path):
         assert os.path.exists(p), p
         img = np.asarray(image_io.load_image(p)[0])
         assert img.shape[:2] == (16, 16)
+
+
+def test_pp_normalize(tmp_path):
+    """-pp-normalize re-unit-length-normalizes RGB before encode
+    (reference: image_preprocess_normalize,
+    astcenccli_toplevel.cpp:1418-1452)."""
+    # Non-unit normal-ish data: decoded output should be ~unit length
+    img = np.zeros((8, 8, 4), np.uint8)
+    img[..., 0] = 200   # overlong vector
+    img[..., 1] = 180
+    img[..., 2] = 220
+    img[..., 3] = 255
+    src = str(tmp_path / "n.png")
+    image_io.save_image(src, img)
+    out = str(tmp_path / "n_out.png")
+    assert run_cli(["-tl", src, out, "4x4", "-fastest", "-pp-normalize",
+                    "-silent"]) == 0
+    dec, _, _ = image_io.load_image(out)
+    v = dec[..., :3].astype(np.float32) / 255.0 * 2.0 - 1.0
+    length = np.sqrt((v * v).sum(-1))
+    assert np.all(np.abs(length - 1.0) < 0.1), length.max()
+
+
+def test_pp_premultiply(tmp_path):
+    """-pp-premultiply multiplies RGB by A before encode (reference:
+    image_preprocess_premultiply, astcenccli_toplevel.cpp:1496-1540)."""
+    img = np.zeros((8, 8, 4), np.uint8)
+    img[..., 0] = 200
+    img[..., 3] = 128   # half alpha -> premultiplied red ~100
+    src = str(tmp_path / "p.png")
+    image_io.save_image(src, img)
+    out = str(tmp_path / "p_out.png")
+    assert run_cli(["-tl", src, out, "4x4", "-fastest", "-pp-premultiply",
+                    "-silent"]) == 0
+    dec, _, _ = image_io.load_image(out)
+    assert abs(int(dec[0, 0, 0]) - 100) <= 6, dec[0, 0, 0]
+    # sRGB profile premultiplies in linear space -> different result
+    out2 = str(tmp_path / "p_out2.png")
+    assert run_cli(["-ts", src, out2, "4x4", "-fastest", "-pp-premultiply",
+                    "-silent"]) == 0
+    dec2, _, _ = image_io.load_image(out2)
+    assert int(dec2[0, 0, 0]) > int(dec[0, 0, 0]) + 10
+
+
+def test_pp_exclusive():
+    rc = run_cli(["-cl", "x.png", "y.astc", "4x4", "-fastest",
+                  "-pp-normalize", "-pp-premultiply"])
+    assert rc != 0
+
+
+def test_rgbm_codec_utility(tmp_path):
+    """RGBM corpus utility round-trip (reference:
+    Utils/astc_rgbm_codec.cpp)."""
+    import importlib
+    rgbm_codec = importlib.import_module("tools.rgbm_codec")
+    rng = np.random.RandomState(7)
+    hdr = (rng.rand(16, 16, 4).astype(np.float32) * 4.0)
+    hdr[..., 3] = 1.0
+    enc = rgbm_codec.rgbm_encode(hdr, 5.0, 16.0)
+    assert enc.dtype == np.uint8 and enc.shape == (16, 16, 4)
+    # Low clamp respected
+    assert enc[..., 3].min() >= 16
+    dec = rgbm_codec.rgbm_decode(enc, 5.0)
+    # Round-trip error bounded by the 8-bit scale quantization
+    err = np.abs(dec[..., :3] - hdr[..., :3])
+    assert err.max() < 5.0 * 2.5 / 255.0 + 0.02, err.max()

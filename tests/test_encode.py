@@ -181,3 +181,29 @@ def test_normal_map_roundtrip():
     cosang = np.clip(np.sum(nd * v, axis=-1), -1, 1)
     mean_deg = np.degrees(np.arccos(cosang)).mean()
     assert mean_deg < 1.0, f"mean angular error {mean_deg:.2f} deg"
+
+
+def test_error_enum_strings():
+    """Stable error enum + string table (reference: astcenc.h:207-236,
+    astcenc_entry.cpp:1519-1558)."""
+    from astcenc_tpu.config import Error
+    assert api.get_error_string(Error.SUCCESS) == "ASTCENC_SUCCESS"
+    assert api.get_error_string(Error.ERR_BAD_BLOCK_SIZE) == \
+        "ASTCENC_ERR_BAD_BLOCK_SIZE"
+    assert api.get_error_string(4) == "ASTCENC_ERR_BAD_BLOCK_SIZE"
+    assert api.get_error_string(999) is None
+    # Raised validation errors carry the matching code
+    try:
+        api.config_init(Profile.LDR, 7, 7, 1, Quality.MEDIUM, 0)
+    except ConfigError as e:
+        assert e.code == Error.ERR_BAD_BLOCK_SIZE
+        assert api.get_error_string(e) == "ASTCENC_ERR_BAD_BLOCK_SIZE"
+    try:
+        api.config_init(Profile.LDR, 4, 4, 1, 150.0, 0)
+    except ConfigError as e:
+        assert e.code == Error.ERR_BAD_QUALITY
+    try:
+        api.config_init(Profile.LDR, 4, 4, 1, Quality.MEDIUM,
+                        Flags.MAP_NORMAL | Flags.MAP_RGBM)
+    except ConfigError as e:
+        assert e.code == Error.ERR_BAD_FLAGS
