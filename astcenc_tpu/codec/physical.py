@@ -2,9 +2,13 @@
 
 TPU redesign of symbolic_to_physical
 (reference: Source/astcenc_symbolic_physical.cpp:102-286): per-block variable
-bit layouts become scatter-adds into a (N, 128) bit plane using the same
-static per-mode ISE stream descriptors the decoder uses, followed by one
-byte-packing reduction. The weight stream is built forward then bit-reversed.
+bit layouts become pure word arithmetic. Each block is four uint32 words;
+every written field is an (offset, value, width) triple whose contribution
+to the two straddled words is a shift, and — because a valid ASTC layout's
+fields are bit-disjoint — the per-word OR is a plain sum reduction over the
+field axis. No scatters: the previous formulation's per-bit
+`plane.at[rows, idx].add` lowered to ~23 serialized scatter fusions that
+cost ~90 ms/chunk (32% of device time) on TPU.
 """
 
 from __future__ import annotations
@@ -49,51 +53,69 @@ def _quint_encode_flat():
     return enc.reshape(-1).astype(np.int32)  # index q2*25+q1*5+q0
 
 
-def _scatter_bits(plane, rows, offsets, values, nbits, valid):
-    """Set `nbits` bits of `values` at per-element offsets into (N, 128)."""
-    K = offsets.shape[1]
-    for b in range(nbits):
-        bit = (values >> b) & 1
-        idx = jnp.clip(offsets + b, 0, 127)
-        plane = plane.at[rows, idx].add(jnp.where(valid, bit, 0))
-    return plane
+def _field_words(offsets, values, widths, valid):
+    """Accumulate (N, S) bit fields into (N, 4) uint32 words.
+
+    offsets: (N, S) global bit offsets (0..127); values: (N, S) ints;
+    widths: broadcastable to (N, S) field widths (bits); valid: (N, S).
+    Fields must be pairwise bit-disjoint within a block (ASTC layout
+    invariant), so summing word contributions equals OR-ing them.
+    """
+    w32 = widths.astype(jnp.uint32)
+    mask = jnp.where(w32 >= 32, jnp.uint32(0xFFFFFFFF),
+                     (jnp.uint32(1) << jnp.minimum(w32, 31)) - 1)
+    ok = valid & (offsets >= 0) & (offsets + widths <= 128) & (widths > 0)
+    v = jnp.where(ok, values, 0).astype(jnp.uint32) & mask
+    o = jnp.clip(offsets, 0, 127).astype(jnp.uint32)
+    widx = (o >> 5).astype(jnp.int32)              # first word index 0..3
+    sh = o & jnp.uint32(31)
+    lo = v << sh
+    hi = (v >> (jnp.uint32(31) - sh)) >> jnp.uint32(1)  # bits past the word
+    words = []
+    for k in range(4):
+        acc = (jnp.sum(jnp.where(widx == k, lo, jnp.uint32(0)), axis=1)
+               + jnp.sum(jnp.where(widx == k - 1, hi, jnp.uint32(0)), axis=1))
+        words.append(acc)
+    return jnp.stack(words, axis=1)                # (N, 4) uint32
 
 
-def _scatter_bits_var(plane, rows, offsets, values, widths, maxbits, valid):
-    for b in range(maxbits):
-        bit = (values >> b) & 1
-        ok = valid & (b < widths)
-        idx = jnp.clip(offsets + b, 0, 127)
-        plane = plane.at[rows, idx].add(jnp.where(ok, bit, 0))
-    return plane
+def _bitrev32(x):
+    x = ((x & jnp.uint32(0x55555555)) << 1) | ((x >> 1) & jnp.uint32(0x55555555))
+    x = ((x & jnp.uint32(0x33333333)) << 2) | ((x >> 2) & jnp.uint32(0x33333333))
+    x = ((x & jnp.uint32(0x0F0F0F0F)) << 4) | ((x >> 4) & jnp.uint32(0x0F0F0F0F))
+    x = ((x & jnp.uint32(0x00FF00FF)) << 8) | ((x >> 8) & jnp.uint32(0x00FF00FF))
+    return (x << 16) | (x >> 16)
 
 
-def _ise_encode_to_plane(plane, rows, symbols, nvals, bits, tclass,
-                         m_off, t_off, t_bits, t_shift, base_off,
-                         trit_pad, quint_pad, group_sizes):
-    """Scatter a BISE stream into the bit plane.
+def _rev128(words):
+    """Reverse the bit order of a (N, 4)-word 128-bit value."""
+    return _bitrev32(words[:, ::-1])
 
-    symbols: (N, S); nvals: (N,) or static; bits: (N, 1) plain bit counts;
-    tclass: (N,) 0/1/2; offsets are (N, S) descriptor arrays.
+
+def _ise_fields(symbols, nvals, bits, tclass, m_off, t_off, t_bits, t_shift,
+                base_off, trit_pad, quint_pad):
+    """BISE stream -> (offsets, values, widths, valid) field arrays.
+
+    symbols: (N, S); nvals: (N,) value count; bits: (N, 1) plain bit count;
+    tclass: (N,) 0=plain 1=trit 2=quint; offsets are (N, S) descriptors.
+    Returns 2S fields: the plain-bit field and the trit/quint pack field of
+    each value slot.
     """
     N, S = symbols.shape
     slot = jnp.arange(S)[None, :]
     valid = slot < (nvals[:, None] if hasattr(nvals, "shape") else nvals)
 
     m = symbols & ((1 << bits) - 1)
-    plane = _scatter_bits_var(plane, rows, base_off + m_off, m,
-                              jnp.broadcast_to(bits, m.shape), 8, valid)
-
     hi = jnp.where(valid, symbols >> bits, 0)
 
     # Trit groups of 5
-    tg5, tg3 = group_sizes
     hi5 = jnp.pad(hi, ((0, 0), (0, trit_pad - S))).reshape(N, trit_pad // 5, 5)
     tidx = (hi5[..., 4] * 81 + hi5[..., 3] * 27 + hi5[..., 2] * 9
             + hi5[..., 1] * 3 + hi5[..., 0])
     T5 = jnp.asarray(_trit_encode_flat())[jnp.clip(tidx, 0, 242)]
     T5 = jnp.repeat(T5, 5, axis=1)[:, :S]
 
+    # Quint groups of 3
     hi3 = jnp.pad(hi, ((0, 0), (0, quint_pad - S))).reshape(N, quint_pad // 3, 3)
     qidx = hi3[..., 2] * 25 + hi3[..., 1] * 5 + hi3[..., 0]
     T3 = jnp.asarray(_quint_encode_flat())[jnp.clip(qidx, 0, 124)]
@@ -102,16 +124,18 @@ def _ise_encode_to_plane(plane, rows, symbols, nvals, bits, tclass,
     tcode = jnp.where((tclass == 1)[:, None], T5,
                       jnp.where((tclass == 2)[:, None], T3, 0))
     tval = (tcode >> t_shift) & ((1 << t_bits) - 1)
-    plane = _scatter_bits_var(plane, rows, base_off + t_off, tval, t_bits, 3,
-                              valid & (tclass != 0)[:, None])
-    return plane
+
+    offs = jnp.concatenate([base_off + m_off, base_off + t_off], axis=1)
+    vals = jnp.concatenate([m, tval], axis=1)
+    wids = jnp.concatenate([jnp.broadcast_to(bits, m.shape), t_bits], axis=1)
+    vld = jnp.concatenate([valid, valid & (tclass != 0)[:, None]], axis=1)
+    return offs, vals, wids, vld
 
 
 def symbolic_to_physical_batch(tables: DecodeTables, scb) -> jnp.ndarray:
     """Pack a batch of symbolic blocks to (N, 16) uint8 physical blocks."""
     t = tables
     N = scb["block_mode"].shape[0]
-    rows = jnp.arange(N)[:, None]
 
     block_mode = scb["block_mode"]
     pc = scb["partition_count"]
@@ -141,36 +165,20 @@ def symbolic_to_physical_batch(tables: DecodeTables, scb) -> jnp.ndarray:
     inter = inter.at[:, 1::2].set(s2[:, :32])
     symbols = jnp.where((dual == 1)[:, None], inter, s1)
 
-    wplane = jnp.zeros((N, 128), jnp.int32)
     w_bits = jnp.asarray(t.w_bits)[pk][:, None]
     w_class = jnp.asarray(t.w_class)[pk]
-    wplane = _ise_encode_to_plane(
-        wplane, rows, symbols, w_count, w_bits, w_class,
+    wf_off, wf_val, wf_wid, wf_ok = _ise_fields(
+        symbols, w_count, w_bits, w_class,
         jnp.asarray(t.w_m_off)[pk], jnp.asarray(t.w_t_off)[pk],
         jnp.asarray(t.w_t_bits)[pk], jnp.asarray(t.w_t_shift)[pk],
-        jnp.zeros((N, 1), jnp.int32), W_TRIT_PAD, W_QUINT_PAD, (5, 3))
-
-    plane = wplane[:, ::-1]  # weights fill from bit 127 downward
+        jnp.zeros((N, 1), jnp.int32), W_TRIT_PAD, W_QUINT_PAD)
+    # Weights fill from bit 127 downward: build forward, bit-reverse.
+    words = _rev128(_field_words(wf_off, wf_val, wf_wid, wf_ok))
 
     # --- Header ---------------------------------------------------------------
-    plane = _scatter_bits(plane, rows, jnp.zeros((N, 1), jnp.int32),
-                          block_mode[:, None], 11,
-                          jnp.ones((N, 1), bool))
-    plane = _scatter_bits(plane, rows, jnp.full((N, 1), 11),
-                          (pc - 1)[:, None], 2, jnp.ones((N, 1), bool))
-
     fmt = scb["color_formats"]
     matched = scb["color_formats_matched"]
     is_multi = pc > 1
-
-    # Single partition: 4-bit format at 13
-    plane = _scatter_bits(plane, rows, jnp.full((N, 1), 13),
-                          fmt[:, 0][:, None], 4, (~is_multi)[:, None])
-
-    # Multi partition: 10-bit index at 13 + CEM fields
-    plane = _scatter_bits(plane, rows, jnp.full((N, 1), 13),
-                          scb["partition_index"][:, None], 10,
-                          is_multi[:, None])
 
     lanes = jnp.arange(4)[None, :]
     in_use = lanes < pc[:, None]
@@ -188,17 +196,33 @@ def symbolic_to_physical_batch(tables: DecodeTables, scb) -> jnp.ndarray:
     ehs = jnp.where(matched | ~is_multi, 0, 3 * pc - 4)
     below_weights = 128 - wbits_total - ehs
 
-    plane = _scatter_bits(plane, rows, jnp.full((N, 1), 23),
-                          (encoded_type & 0x3F)[:, None], 6,
-                          is_multi[:, None])
-    plane = _scatter_bits_var(plane, rows, below_weights[:, None],
-                              (encoded_type >> 6)[:, None], ehs[:, None], 8,
-                              is_multi[:, None] & (ehs > 0)[:, None])
+    ones = jnp.ones((N,), bool)
+    zer = jnp.zeros((N,), jnp.int32)
 
-    # Dual-plane component
-    plane = _scatter_bits(plane, rows, (below_weights - 2)[:, None],
-                          jnp.clip(scb["plane2_component"], 0, 3)[:, None], 2,
-                          (dual == 1)[:, None])
+    def f(off, val, wid, ok):
+        return (off, val, wid, ok)
+
+    hdr = [
+        f(zer, block_mode, jnp.full((N,), 11, jnp.int32), ones),
+        f(jnp.full((N,), 11, jnp.int32), pc - 1,
+          jnp.full((N,), 2, jnp.int32), ones),
+        # Single partition: 4-bit format at 13
+        f(jnp.full((N,), 13, jnp.int32), fmt[:, 0],
+          jnp.full((N,), 4, jnp.int32), ~is_multi),
+        # Multi partition: 10-bit index at 13 + CEM fields
+        f(jnp.full((N,), 13, jnp.int32), scb["partition_index"],
+          jnp.full((N,), 10, jnp.int32), is_multi),
+        f(jnp.full((N,), 23, jnp.int32), encoded_type & 0x3F,
+          jnp.full((N,), 6, jnp.int32), is_multi),
+        f(below_weights, encoded_type >> 6, ehs, is_multi & (ehs > 0)),
+        # Dual-plane component
+        f(below_weights - 2, jnp.clip(scb["plane2_component"], 0, 3),
+          jnp.full((N,), 2, jnp.int32), dual == 1),
+    ]
+    h_off = jnp.stack([h[0] for h in hdr], axis=1)
+    h_val = jnp.stack([h[1] for h in hdr], axis=1)
+    h_wid = jnp.stack([h[2] for h in hdr], axis=1)
+    h_ok = jnp.stack([h[3] for h in hdr], axis=1)
 
     # --- Color values ---------------------------------------------------------
     nvals_p = jnp.where(in_use, ((fmt >> 2) + 1) * 2, 0)      # (N, 4)
@@ -222,16 +246,22 @@ def symbolic_to_physical_batch(tables: DecodeTables, scb) -> jnp.ndarray:
     c_bits = jnp.asarray(t.c_bits)[combo][:, None]
     c_class = jnp.asarray(t.c_class)[combo]
     base = jnp.where(is_multi, 29, 17)[:, None]
-    plane = _ise_encode_to_plane(
-        plane, rows, flat, icount, c_bits, c_class,
+    cf_off, cf_val, cf_wid, cf_ok = _ise_fields(
+        flat, icount, c_bits, c_class,
         jnp.asarray(t.c_m_off)[combo], jnp.asarray(t.c_t_off)[combo],
         jnp.asarray(t.c_t_bits)[combo], jnp.asarray(t.c_t_shift)[combo],
-        base, C_TRIT_PAD, C_QUINT_PAD, (5, 3))
+        base, C_TRIT_PAD, C_QUINT_PAD)
+
+    words = words + _field_words(
+        jnp.concatenate([h_off, cf_off], axis=1),
+        jnp.concatenate([h_val, cf_val], axis=1),
+        jnp.concatenate([h_wid, cf_wid], axis=1),
+        jnp.concatenate([h_ok, cf_ok], axis=1))
 
     # --- Byte pack + constant-color overrides ---------------------------------
-    plane = jnp.clip(plane, 0, 1)
-    shifts = (1 << jnp.arange(8, dtype=jnp.int32))
-    pcb = (plane.reshape(N, 16, 8) * shifts).sum(-1).astype(jnp.uint8)
+    shifts = (jnp.arange(4, dtype=jnp.uint32) * 8)[None, None, :]
+    pcb = ((words[:, :, None] >> shifts) & jnp.uint32(0xFF)
+           ).reshape(N, 16).astype(jnp.uint8)
 
     const_u16 = scb.get("const_u16", jnp.zeros((N,), bool))
     const_f16 = scb.get("const_f16", jnp.zeros((N,), bool))
