@@ -503,6 +503,16 @@ def compress_symbolic_batch_mono(dtables_key, enc_key, cfgs, texels):
     return compress_symbolic_batch(dtables_key, enc_key, cfgs, texels)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def compress_symbolic_batch_mono_u8(dtables_key, enc_key, cfgs, texels_u8):
+    """Mono pipeline taking (N, T, 4) uint8 texels: the UNORM8->UNORM16
+    promotion runs on device, so the host->device transfer is 4x smaller
+    (the tunnel transfer rides the critical path at production chunk
+    sizes)."""
+    texels = texels_u8.astype(jnp.float32) * jnp.float32(65535.0 / 255.0)
+    return compress_symbolic_batch(dtables_key, enc_key, cfgs, texels)
+
+
 def _use_mono_jit() -> bool:
     env = os.environ.get("ASTC_MONO_JIT")
     if env is not None:

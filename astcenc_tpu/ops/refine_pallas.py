@@ -118,6 +118,55 @@ def _cat(pieces):
     return pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, 0)
 
 
+def _sublane_gather2(tab_a, tab_b, idx):
+    """out_a[k, b] = tab_a[idx[k, b], b] (and same for tab_b), using the
+    8-row sublane hardware gather: for each 8-row group of indices, gather
+    from each 8-row chunk of the tables and keep the in-range chunk.
+    tab_a/tab_b: (V, BT) f32 (same V); idx: (K, BT) int32 in [0, V)."""
+    V, BT = tab_a.shape
+    K = idx.shape[0]
+    Kp = (K + 7) & ~7
+    if Kp > K:
+        idx = jnp.concatenate([idx, jnp.zeros((Kp - K, BT), jnp.int32)], 0)
+    nchunk = (V + 7) // 8
+    if V % 8:
+        zpad = jnp.zeros((8 - V % 8, BT), tab_a.dtype)
+        tab_a = jnp.concatenate([tab_a, zpad], 0)
+        tab_b = None if tab_b is None else jnp.concatenate([tab_b, zpad], 0)
+    outs_a = []
+    outs_b = []
+    for g in range(Kp // 8):
+        i8 = idx[8 * g:8 * g + 8, :]
+        acc_a = None
+        acc_b = None
+        for c in range(nchunk):
+            rel = i8 - 8 * c
+            relc = jnp.clip(rel, 0, 7)
+            ga = jnp.take_along_axis(tab_a[8 * c:8 * c + 8, :], relc, axis=0)
+            gb = (None if tab_b is None else jnp.take_along_axis(
+                tab_b[8 * c:8 * c + 8, :], relc, axis=0))
+            if acc_a is None:
+                acc_a, acc_b = ga, gb
+            else:
+                inb = (rel >= 0) & (rel < 8)
+                acc_a = jnp.where(inb, ga, acc_a)
+                acc_b = None if gb is None else jnp.where(inb, gb, acc_b)
+        outs_a.append(acc_a)
+        outs_b.append(acc_b)
+    out_a = outs_a[0] if len(outs_a) == 1 else jnp.concatenate(outs_a, 0)
+    if tab_b is None:
+        return out_a[:K], None
+    out_b = outs_b[0] if len(outs_b) == 1 else jnp.concatenate(outs_b, 0)
+    return out_a[:K], out_b[:K]
+
+
+def _pn_gather(wg, dn_tab, up_tab):
+    """Per-slot prev/next weight lookup: sublane gather instead of a
+    65-step select chain (values are 0..64 by construction)."""
+    dn, up = _sublane_gather2(dn_tab, up_tab, wg.astype(jnp.int32))
+    return dn, up
+
+
 def _texp(tex_ref, T: int):
     ts = tex_stride(T)
     return [tex_ref[ch * ts:ch * ts + T, :] for ch in range(4)]
@@ -213,18 +262,9 @@ def _refine_kernel(meta_ref, tex_ref, si_ref, sf_ref, dmc_ref, pn_ref,
     dn_tab = pn_rows[0:65, :]                      # (65, BT)
     up_tab = pn_rows[128:193, :]
 
-    # Value-indexed lookup of prev/next for each weight slot: 65-step
-    # select chain on (W, BT) planes (the grid is 0..64 by construction).
-    down = None
-    up = None
-    for v in range(65):
-        m = w64 == float(v)
-        tdn = jnp.where(m, dn_tab[v:v + 1, :], 0.0)
-        tup = jnp.where(m, up_tab[v:v + 1, :], 0.0)
-        down = tdn if down is None else down + tdn
-        up = tup if up is None else up + tup
-    downf = down
-    upf = up
+    # Value-indexed lookup of prev/next for each weight slot (the grid is
+    # 0..64 by construction): 8-row sublane gathers.
+    downf, upf = _pn_gather(w64, dn_tab, up_tab)
 
     offs = [(ep1t[ch] - ep0t[ch]) * (1.0 / 64.0) for ch in range(4)]
     C_t = None
@@ -330,10 +370,11 @@ def _trial1_full_kernel(meta_ref, fmeta_ref, tex_ref, si_ref, sf_ref,
         cw = _asr_cw(tex_ref, T, cw)
 
     qidx = jnp.clip(cq - ise.QUANT_6, 0, 16)
-    lut = _make_lut(qidx, lo_ref, hi_ref)
     if pc >= 2:
         qidxm = jnp.clip(cqm - ise.QUANT_6, 0, 16)
-        lut_m = _make_lut(qidxm, lo_ref, hi_ref)
+        lut = _make_lut(qidx, lo_ref, hi_ref, qidxm_row=qidxm, pc=pc)
+    else:
+        lut = _make_lut(qidx, lo_ref, hi_ref, pc=pc)
 
     # Realign invariants (d- and wq-dependent only).
     dmc = jnp.dot(dmc_ref[:], oh_d, preferred_element_type=f32)
@@ -345,18 +386,20 @@ def _trial1_full_kernel(meta_ref, fmeta_ref, tex_ref, si_ref, sf_ref,
     dn_tab = pn_rows[0:65, :]
     up_tab = pn_rows[128:193, :]
 
-    ep0_c = [[fmeta[p * 4 + ch:p * 4 + ch + 1, :] for ch in range(4)]
-             for p in range(4)]
-    ep1_c = [[fmeta[16 + p * 4 + ch:17 + p * 4 + ch, :] for ch in range(4)]
-             for p in range(4)]
+    # Partition-stacked prev endpoints: [ch] -> (pc, BT).
+    ep0_c = [_cat([fmeta[p * 4 + ch:p * 4 + ch + 1, :] for p in range(pc)])
+             for ch in range(4)]
+    ep1_c = [_cat([fmeta[16 + p * 4 + ch:17 + p * 4 + ch, :]
+                   for p in range(pc)]) for ch in range(4)]
 
-    def part_sel(rows_pp):
-        """[p][ch] scalar rows -> per-texel (T, BT) channel planes."""
+    def part_sel(rows_s):
+        """[ch] -> (pc, BT) stacked rows -> per-texel (T, BT) planes."""
         out = []
         for ch in range(4):
             acc = None
             for p in range(pc):
-                t = jnp.where(pot == p, rows_pp[p][ch].astype(f32), 0.0)
+                t = jnp.where(pot == p, rows_s[ch][p:p + 1, :].astype(f32),
+                              0.0)
                 acc = t if acc is None else acc + t
             out.append(acc)
         return out
@@ -374,15 +417,7 @@ def _trial1_full_kernel(meta_ref, fmeta_ref, tex_ref, si_ref, sf_ref,
         return _err_from_colors(colors, texp, cw, rgbm_scale)
 
     def pn_lookup(wg):
-        down = None
-        up = None
-        for v in range(65):
-            m = wg == float(v)
-            tdn = jnp.where(m, dn_tab[v:v + 1, :], 0.0)
-            tup = jnp.where(m, up_tab[v:v + 1, :], 0.0)
-            down = tdn if down is None else down + tdn
-            up = tup if up is None else up + tup
-        return down, up
+        return _pn_gather(wg, dn_tab, up_tab)
 
     def realign(wg, ep0t, ep1t):
         offs = [(ep1t[ch] - ep0t[ch]) * (1.0 / 64.0) for ch in range(4)]
@@ -428,50 +463,51 @@ def _trial1_full_kernel(meta_ref, fmeta_ref, tex_ref, si_ref, sf_ref,
     of32_rows = [None] * (R + 1)
     zero_i = jnp.zeros((1, BT), jnp.int32)
 
+    fmt_req_s = _cat(fmt_req)                      # (pc, BT)
+    if pc >= 2:
+        # Stacked pack operands: sublanes [0:pc] = base quant, [pc:2pc] =
+        # mod quant (cqm). ONE pack_ldr_rows call covers every
+        # (partition, quant-variant) — the pack's scalar-row arithmetic is
+        # the kernel's dominant op count and sublane stacking is free.
+        req_G = _cat([fmt_req_s, fmt_req_s])
+        qidx_G = _cat([qidx] * pc + [qidxm] * pc)
+    else:
+        req_G = fmt_req_s
+        qidx_G = qidx
+
     for r in range(R):
         undec = jnp.sum(srow_f * wgrid[None, :, :], axis=1) * (1.0 / 64.0)
         ep0_c, ep1_c, rgbs = _recompute_1plane_rows(
             texp, pot, undec, cw, ep0_c, ep1_c, pc)
 
-        fmt_p = []
-        vals_p = []
-        for p in range(pc):
-            fpp, vpp = rowops.pack_ldr_rows(
-                ep0_c[p], ep1_c[p], rgbs[p], fmt_req[p], qidx, lut)
-            fmt_p.append(fpp)
-            vals_p.append(vpp)
+        if pc >= 2:
+            ep0_G = [_cat([c, c]) for c in ep0_c]
+            ep1_G = [_cat([c, c]) for c in ep1_c]
+            rgbs_G = [_cat([c, c]) for c in rgbs]
+        else:
+            ep0_G, ep1_G, rgbs_G = ep0_c, ep1_c, rgbs
+        fmt_G, vals_G = rowops.pack_ldr_rows(ep0_G, ep1_G, rgbs_G, req_G,
+                                             qidx_G, lut)
 
         matched = jnp.zeros((1, BT), bool)
         use_q = cq
+        fmt_s = fmt_G[:pc]
+        vals_s = [v[:pc] for v in vals_G]
         if pc >= 2:
+            fmt_m = fmt_G[pc:]
             all_same = cq != cqm
-            for p in range(1, pc):
-                all_same &= fmt_p[p] == fmt_p[0]
-            fmt_m = []
-            vals_m = []
-            for p in range(pc):
-                fpp, vpp = rowops.pack_ldr_rows(
-                    ep0_c[p], ep1_c[p], rgbs[p], fmt_req[p], qidxm, lut_m)
-                fmt_m.append(fpp)
-                vals_m.append(vpp)
-            same_mod = jnp.ones((1, BT), bool)
-            for p in range(1, pc):
-                same_mod &= fmt_m[p] == fmt_m[0]
+            all_same &= (jnp.max(fmt_s, axis=0, keepdims=True)
+                         == jnp.min(fmt_s, axis=0, keepdims=True))
+            same_mod = (jnp.max(fmt_m, axis=0, keepdims=True)
+                        == jnp.min(fmt_m, axis=0, keepdims=True))
             matched = all_same & same_mod & (cqm >= 4)
-            for p in range(pc):
-                fmt_p[p] = jnp.where(matched, fmt_m[p], fmt_p[p])
-                vals_p[p] = [jnp.where(matched, vals_m[p][i], vals_p[p][i])
-                             for i in range(8)]
+            fmt_s = jnp.where(matched, fmt_m, fmt_s)
+            vals_s = [jnp.where(matched, v[pc:], v[:pc]) for v in vals_G]
             use_q = jnp.where(matched, cqm, cq)
 
-        ep0i = []
-        ep1i = []
-        for p in range(pc):
-            e0, e1 = rowops.unpack_ldr_rows(profile, fmt_p[p], vals_p[p])
-            ep0i.append(e0)
-            ep1i.append(e1)
-        ep0t = part_sel(ep0i)
-        ep1t = part_sel(ep1i)
+        e0s, e1s = rowops.unpack_ldr_rows(profile, fmt_s, vals_s)
+        ep0t = part_sel(e0s)
+        ep1t = part_sel(e1s)
 
         if r == 0:
             err_pre = trial_err(wgrid, ep0t, ep1t)
@@ -483,11 +519,12 @@ def _trial1_full_kernel(meta_ref, fmeta_ref, tex_ref, si_ref, sf_ref,
         of32_rows[1 + r] = jnp.where(alive, err_post, _BIG)
         alive = alive & (adjusted != 0.0)
 
-        rrows = list(fmt_p)
-        rrows += [zero_i] * (4 - pc)
+        rrows = [fmt_s]
+        if pc < 4:
+            rrows += [jnp.zeros((4 - pc, BT), jnp.int32)]
         for p in range(4):
             if p < pc:
-                rrows += vals_p[p]
+                rrows += [v[p:p + 1] for v in vals_s]
             else:
                 rrows += [zero_i] * 8
         rrows += [use_q, matched.astype(jnp.int32)]
@@ -677,15 +714,7 @@ def _trial2_full_kernel(meta_ref, fmeta_ref, tex_ref, si_ref, sf_ref,
         return _err_from_colors(colors, texp, cw, rgbm_scale)
 
     def pn_lookup(wg):
-        down = None
-        up = None
-        for v in range(65):
-            m = wg == float(v)
-            tdn = jnp.where(m, dn_tab[v:v + 1, :], 0.0)
-            tup = jnp.where(m, up_tab[v:v + 1, :], 0.0)
-            down = tdn if down is None else down + tdn
-            up = tup if up is None else up + tup
-        return down, up
+        return _pn_gather(wg, dn_tab, up_tab)
 
     def realign(wg, ep0s, ep1s, other_plane: bool):
         offs = []
@@ -1046,15 +1075,7 @@ def _refine2_kernel(meta_ref, tex_ref, si_ref, sf_ref, dmc_ref, pn_ref,
     up_tab = pn_rows[128:193, :]
 
     def pn_lookup(wg):
-        down = None
-        up = None
-        for v in range(65):
-            m = wg == float(v)
-            tdn = jnp.where(m, dn_tab[v:v + 1, :], 0.0)
-            tup = jnp.where(m, up_tab[v:v + 1, :], 0.0)
-            down = tdn if down is None else down + tdn
-            up = tup if up is None else up + tup
-        return down, up
+        return _pn_gather(wg, dn_tab, up_tab)
 
     def realign(wg, other_plane: bool):
         """One plane's sweep; other_plane=False masks the p2c channel."""
@@ -1276,104 +1297,125 @@ def _recompute_1plane_rows(texp, pot, undec, cw, ep0_prev, ep1_prev,
                            pc: int):
     """In-kernel recompute_ideal_colors_1plane (see ops/recompute.py; LDR
     paths only — no RGBO). texp: 4 x (T, BT); pot/undec: (T, BT);
-    ep0_prev/ep1_prev: [p][ch] -> (1, BT). Returns (ep0, ep1, rgbs) in the
-    same nested-rows form."""
+    ep0_prev/ep1_prev: [ch] -> (pc, BT) with partitions stacked on the
+    sublane axis. Only the masked (T, BT) reductions loop over partitions;
+    all scalar-row arithmetic runs once on the stacked rows. Returns
+    (ep0, ep1, rgbs) in the same stacked form."""
     f32 = jnp.float32
     ls_weight = cw[0] + cw[1] + cw[2]
     idx = undec
     om = 1.0 - idx
     big = 1e10
 
-    ep0_out = [[None] * 4 for _ in range(4)]
-    ep1_out = [[None] * 4 for _ in range(4)]
-    rgbs_out = [[None] * 4 for _ in range(4)]
-
+    # --- per-partition masked (T, BT) reductions, stacked to (pc, BT) -------
+    tc_l, rsum_l, smin_l, smax_l, wmin_l, wmax_l = [], [], [], [], [], []
+    l_l, m_l, r_l, cvy_l, cvx_l, sv0_l, sv1_l, sd_l = ([], [], [], [], [],
+                                                       [], [], [])
     for p in range(pc):
         inp = (pot == p).astype(f32)               # (T, BT)
         tc = jnp.sum(inp, axis=0, keepdims=True)
-        rws = [jnp.maximum(cw[ch] * tc, 1e-17) for ch in range(4)]
-        rsum = [jnp.sum(inp * texp[ch], axis=0, keepdims=True) * cw[ch]
-                for ch in range(4)]
-
-        mean_rgb = [rsum[ch] / rws[ch] for ch in range(3)]
+        rws_p = [jnp.maximum(cw[ch] * tc, 1e-17) for ch in range(4)]
+        rsum_p = [jnp.sum(inp * texp[ch], axis=0, keepdims=True) * cw[ch]
+                  for ch in range(4)]
+        mean_rgb = [rsum_p[ch] / rws_p[ch] for ch in range(3)]
         norm = jnp.sqrt(mean_rgb[0] ** 2 + mean_rgb[1] ** 2
                         + mean_rgb[2] ** 2)
         nsafe = jnp.where(norm > 0, norm, 1.0)
-        sd = [mean_rgb[ch] / nsafe for ch in range(3)]
+        sd_p = [mean_rgb[ch] / nsafe for ch in range(3)]
+        scal = sd_p[0] * texp[0] + sd_p[1] * texp[1] + sd_p[2] * texp[2]
 
-        scal = sd[0] * texp[0] + sd[1] * texp[1] + sd[2] * texp[2]
-        scale_min = jnp.min(jnp.where(inp > 0, scal, big), axis=0,
-                            keepdims=True)
-        scale_max = jnp.max(jnp.where(inp > 0, scal, -big), axis=0,
-                            keepdims=True)
-        wmin = jnp.min(jnp.where(inp > 0, idx, 1.0), axis=0, keepdims=True)
-        wmax = jnp.max(jnp.where(inp > 0, idx, 0.0), axis=0, keepdims=True)
+        tc_l.append(tc)
+        rsum_l.append(rsum_p)
+        sd_l.append(sd_p)
+        smin_l.append(jnp.min(jnp.where(inp > 0, scal, big), axis=0,
+                              keepdims=True))
+        smax_l.append(jnp.max(jnp.where(inp > 0, scal, -big), axis=0,
+                              keepdims=True))
+        wmin_l.append(jnp.min(jnp.where(inp > 0, idx, 1.0), axis=0,
+                              keepdims=True))
+        wmax_l.append(jnp.max(jnp.where(inp > 0, idx, 0.0), axis=0,
+                              keepdims=True))
+        l_l.append(jnp.sum(inp * om * om, axis=0, keepdims=True))
+        m_l.append(jnp.sum(inp * om * idx, axis=0, keepdims=True))
+        r_l.append(jnp.sum(inp * idx * idx, axis=0, keepdims=True))
+        cvy_l.append([jnp.sum(inp * texp[ch] * idx, axis=0, keepdims=True)
+                      * cw[ch] for ch in range(4)])
+        cvx_l.append([jnp.sum(inp * texp[ch] * om, axis=0, keepdims=True)
+                      * cw[ch] for ch in range(4)])
+        sv0_l.append(jnp.sum(inp * om * scal, axis=0, keepdims=True)
+                     * ls_weight)
+        sv1_l.append(jnp.sum(inp * idx * scal, axis=0, keepdims=True)
+                     * ls_weight)
 
-        left_s = jnp.sum(inp * om * om, axis=0, keepdims=True)
-        middle_s = jnp.sum(inp * om * idx, axis=0, keepdims=True)
-        right_s = jnp.sum(inp * idx * idx, axis=0, keepdims=True)
+    tc = _cat(tc_l)                                # (pc, BT)
+    rws = [jnp.maximum(cw[ch] * tc, 1e-17) for ch in range(4)]
+    sd = [_cat([sd_l[p][ch] for p in range(pc)]) for ch in range(3)]
+    scale_min = _cat(smin_l)
+    scale_max = _cat(smax_l)
+    wmin = _cat(wmin_l)
+    wmax = _cat(wmax_l)
+    left_s = _cat(l_l)
+    middle_s = _cat(m_l)
+    right_s = _cat(r_l)
+    cvy = [_cat([cvy_l[p][ch] for p in range(pc)]) for ch in range(4)]
+    cvx = [_cat([cvx_l[p][ch] for p in range(pc)]) for ch in range(4)]
+    sv0 = _cat(sv0_l)
+    sv1 = _cat(sv1_l)
 
-        cvy = [jnp.sum(inp * texp[ch] * idx, axis=0, keepdims=True) * cw[ch]
-               for ch in range(4)]
-        cvx = [jnp.sum(inp * texp[ch] * om, axis=0, keepdims=True) * cw[ch]
-               for ch in range(4)]
+    # --- stacked (pc, BT) solve ---------------------------------------------
+    scalediv = jnp.clip(scale_min / jnp.maximum(scale_max, 1e-10), 0.0, 1.0)
+    sds = [sd[ch] * scale_max for ch in range(3)]
+    all_same = wmin >= wmax * 0.999
 
-        sv0 = jnp.sum(inp * om * scal, axis=0, keepdims=True) * ls_weight
-        sv1 = jnp.sum(inp * idx * scal, axis=0, keepdims=True) * ls_weight
+    ep0_out = [None] * 4
+    ep1_out = [None] * 4
+    rgbs_out = [None] * 4
+    for ch in range(4):
+        wch = cw[ch]
+        left = left_s * wch
+        middle = middle_s * wch
+        right = right_s * wch
+        det = left * right - middle * middle
+        rdet = 1.0 / det
+        mss = left * left + 2.0 * middle * middle + right * right
+        e0f = (right * cvx[ch] - middle * cvy[ch]) * rdet
+        e1f = (left * cvy[ch] - middle * cvx[ch]) * rdet
+        det_ok = jnp.abs(det) > mss * 1e-4
+        full = det_ok & ~(jnp.isnan(e0f) | jnp.isnan(e1f))
+        ep0_fit = jnp.where(full, e0f, ep0_prev[ch])
+        ep1_fit = jnp.where(full, e1f, ep1_prev[ch])
 
-        scalediv = jnp.clip(scale_min / jnp.maximum(scale_max, 1e-10),
-                            0.0, 1.0)
-        sds = [sd[ch] * scale_max for ch in range(3)]
+        avg = (cvx[ch] + cvy[ch]) / rws[ch]
+        notnan = ~jnp.isnan(avg)
+        ep0_same = jnp.where(notnan, avg, ep0_prev[ch])
+        ep1_same = jnp.where(notnan, avg, ep1_prev[ch])
 
-        all_same = wmin >= wmax * 0.999
+        ep0_out[ch] = jnp.where(all_same, ep0_same, ep0_fit)
+        ep1_out[ch] = jnp.where(all_same, ep1_same, ep1_fit)
 
-        for ch in range(4):
-            wch = cw[ch]
-            left = left_s * wch
-            middle = middle_s * wch
-            right = right_s * wch
-            det = left * right - middle * middle
-            rdet = 1.0 / det
-            mss = left * left + 2.0 * middle * middle + right * right
-            e0f = (right * cvx[ch] - middle * cvy[ch]) * rdet
-            e1f = (left * cvy[ch] - middle * cvx[ch]) * rdet
-            det_ok = jnp.abs(det) > mss * 1e-4
-            full = det_ok & ~(jnp.isnan(e0f) | jnp.isnan(e1f))
-            ep0_fit = jnp.where(full, e0f, ep0_prev[p][ch])
-            ep1_fit = jnp.where(full, e1f, ep1_prev[p][ch])
-
-            avg = (cvx[ch] + cvy[ch]) / rws[ch]
-            notnan = ~jnp.isnan(avg)
-            ep0_same = jnp.where(notnan, avg, ep0_prev[p][ch])
-            ep1_same = jnp.where(notnan, avg, ep1_prev[p][ch])
-
-            ep0_out[p][ch] = jnp.where(all_same, ep0_same, ep0_fit)
-            ep1_out[p][ch] = jnp.where(all_same, ep1_same, ep1_fit)
-
-        lm0 = left_s * ls_weight
-        lm1 = middle_s * ls_weight
-        lm2 = right_s * ls_weight
-        ls_det = lm0 * lm2 - lm1 * lm1
-        ls_rdet = 1.0 / ls_det
-        ls_mss = lm0 * lm0 + 2.0 * lm1 * lm1 + lm2 * lm2
-        se0 = (lm2 * sv0 - lm1 * sv1) * ls_rdet
-        se1 = (lm0 * sv1 - lm1 * sv0) * ls_rdet
-        ls_ok = ((jnp.abs(ls_det) > ls_mss * 1e-4)
-                 & ~jnp.isnan(se0) & ~jnp.isnan(se1) & (se0 < se1))
-        div1 = jnp.where(se1 != 0, se1, 1.0)
-        for ch in range(3):
-            base = jnp.where(ls_ok, sd[ch] * se1, sds[ch])
-            rgbs_out[p][ch] = jnp.where(all_same, sds[ch], base)
-        s3 = jnp.where(ls_ok, se0 / div1, scalediv)
-        rgbs_out[p][3] = jnp.where(all_same, jnp.ones_like(s3), s3)
+    lm0 = left_s * ls_weight
+    lm1 = middle_s * ls_weight
+    lm2 = right_s * ls_weight
+    ls_det = lm0 * lm2 - lm1 * lm1
+    ls_rdet = 1.0 / ls_det
+    ls_mss = lm0 * lm0 + 2.0 * lm1 * lm1 + lm2 * lm2
+    se0 = (lm2 * sv0 - lm1 * sv1) * ls_rdet
+    se1 = (lm0 * sv1 - lm1 * sv0) * ls_rdet
+    ls_ok = ((jnp.abs(ls_det) > ls_mss * 1e-4)
+             & ~jnp.isnan(se0) & ~jnp.isnan(se1) & (se0 < se1))
+    div1 = jnp.where(se1 != 0, se1, 1.0)
+    for ch in range(3):
+        base = jnp.where(ls_ok, sd[ch] * se1, sds[ch])
+        rgbs_out[ch] = jnp.where(all_same, sds[ch], base)
+    s3 = jnp.where(ls_ok, se0 / div1, scalediv)
+    rgbs_out[3] = jnp.where(all_same, jnp.ones_like(s3), s3)
 
     return ep0_out, ep1_out, rgbs_out
 
 
-def _make_lut(qidx_row, lo_ref, hi_ref):
-    """In-kernel quantizer LUT: builds the block tile's (256, BT) lo/hi
-    tables from the (256, NQ) masters via MXU one-hot matmuls, then
-    resolves batched lookups with one 256-step row-select chain."""
+def _lut_tables(qidx_row, lo_ref, hi_ref):
+    """Block tile's (256, BT) lo/hi quantizer tables from the (256, NQ)
+    masters via MXU one-hot matmuls."""
     NQ = lo_ref.shape[1]
     BT = qidx_row.shape[1]
     ohq = (jax.lax.broadcasted_iota(jnp.int32, (NQ, BT), 0)
@@ -1384,45 +1426,50 @@ def _make_lut(qidx_row, lo_ref, hi_ref):
     hi_tab = jax.lax.dot_general(
         hi_ref[:], ohq, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
+    return lo_tab, hi_tab
+
+
+def _make_lut(qidx_row, lo_ref, hi_ref, qidxm_row=None, pc: int = 1):
+    """In-kernel quantizer LUT over stacked request rows.
+
+    Request rows may be (G, BT) with G == pc partition sublanes resolved
+    against the base-quant tables, or G == 2*pc with sublanes [pc:2pc]
+    resolved against the mod-quant (cqm) tables — the stacking that lets a
+    refinement round run ONE pack over every (partition, quant-variant)
+    instead of 2*pc scalar-row packs. Lookups use the 8-row sublane
+    hardware gather (see _sublane_gather2)."""
+    lo_tab, hi_tab = _lut_tables(qidx_row, lo_ref, hi_ref)
+    if qidxm_row is not None:
+        lo_m, hi_m = _lut_tables(qidxm_row, lo_ref, hi_ref)
 
     def lut(rows):
         K = len(rows)
-        Kp = (K + 7) & ~7
-        # NOTE: never emit a zero-row pad — Mosaic rejects zero-size vector
-        # types on hardware ("vector types must have positive constant
-        # sizes") even though interpret mode accepts them.
-        pad = [jnp.zeros((Kp - K, BT), jnp.int32)] if Kp > K else []
-        vals = jnp.concatenate(
-            [jnp.clip(r, 0, 255) for r in rows] + pad, axis=0)   # (Kp, BT)
-        # Resolve lookups with the sublane hardware gather, which handles
-        # one (8, lanes) tile at a time: for each 8-row group of requests,
-        # gather from each 8-row chunk of the table and keep the in-range
-        # chunk. ~3x fewer vector ops than a 256-step select chain.
-        los = []
-        his = []
-        for g in range(Kp // 8):
-            idx8 = vals[8 * g:8 * g + 8, :]
-            acc_lo = None
-            acc_hi = None
-            for c in range(32):
-                rel = idx8 - 8 * c
-                relc = jnp.clip(rel, 0, 7)
-                glo = jnp.take_along_axis(lo_tab[8 * c:8 * c + 8, :], relc,
-                                          axis=0)
-                ghi = jnp.take_along_axis(hi_tab[8 * c:8 * c + 8, :], relc,
-                                          axis=0)
-                if acc_lo is None:
-                    acc_lo, acc_hi = glo, ghi
-                else:
-                    inb = (rel >= 0) & (rel < 8)
-                    acc_lo = jnp.where(inb, glo, acc_lo)
-                    acc_hi = jnp.where(inb, ghi, acc_hi)
-            los.append(acc_lo)
-            his.append(acc_hi)
-        acc_lo = jnp.concatenate(los, axis=0)
-        acc_hi = jnp.concatenate(his, axis=0)
-        lo_rows = [acc_lo[k:k + 1].astype(jnp.int32) for k in range(K)]
-        hi_rows = [acc_hi[k:k + 1].astype(jnp.int32) for k in range(K)]
+        G = rows[0].shape[0]
+        stacked_mod = qidxm_row is not None and G == 2 * pc
+        if not stacked_mod:
+            vals = jnp.concatenate([jnp.clip(r, 0, 255) for r in rows], 0)
+            lo, hi = _sublane_gather2(lo_tab, hi_tab, vals)
+            lo_rows = [lo[k * G:(k + 1) * G].astype(jnp.int32)
+                       for k in range(K)]
+            hi_rows = [hi[k * G:(k + 1) * G].astype(jnp.int32)
+                       for k in range(K)]
+            return lo_rows, hi_rows
+        # Split base/mod sublanes so every gather group resolves against
+        # one table (the mod rows' table differs per block).
+        base = jnp.concatenate(
+            [jnp.clip(r[:pc], 0, 255) for r in rows], 0)      # (K*pc, BT)
+        mod = jnp.concatenate(
+            [jnp.clip(r[pc:], 0, 255) for r in rows], 0)
+        lob, hib = _sublane_gather2(lo_tab, hi_tab, base)
+        lom, him = _sublane_gather2(lo_m, hi_m, mod)
+        lo_rows = []
+        hi_rows = []
+        for k in range(K):
+            s = slice(k * pc, (k + 1) * pc)
+            lo_rows.append(jnp.concatenate(
+                [lob[s], lom[s]], 0).astype(jnp.int32))
+            hi_rows.append(jnp.concatenate(
+                [hib[s], him[s]], 0).astype(jnp.int32))
         return lo_rows, hi_rows
 
     return lut

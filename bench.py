@@ -76,8 +76,10 @@ def main():
     ctx._enc_key = compress_mod.EncKey(build_encoder_tables(ctx.bsd), ctx.bsd)
     cfgs = compress_mod._CfgStatic(ctx.config)
 
-    # Pre-blocked input so we time the pure codec step
-    texels_np = _blockify(data, block)
+    # Pre-blocked input so we time the pure codec step. Blocks stay uint8
+    # on the host; the mono-u8 entry promotes on device (4x less tunnel
+    # transfer per chunk).
+    texels_np = _blockify_u8(data, block)
     n_texels = texels_np.shape[0] * texels_np.shape[1]
 
     chunk = int(os.environ.get("ASTC_CHUNK", "8192"))
@@ -95,10 +97,10 @@ def main():
     for r in range(reps):
         for i in range(0, texels_np.shape[0], chunk):
             c = texels_np[i:i + chunk].copy()
-            c[0, 0, 0] = float(rng.randint(0, 65536))
+            c[0, 0, 0] = rng.randint(0, 256)
             all_chunks.append(jax.device_put(c))
 
-    fn = compress_mod.compress_symbolic_batch_mono
+    fn = compress_mod.compress_symbolic_batch_mono_u8
 
     # Kernel compile gate + fallback ladder. The warmup dispatch forces
     # Mosaic compilation of every Pallas kernel family; fetch to host — on
@@ -125,7 +127,7 @@ def main():
     # the host fetch (block_until_ready alone does not reliably wait on
     # tunneled device backends); fetching chunk i-depth while i is on the
     # device overlaps PCIe/tunnel transfer with compute.
-    depth = max(1, int(os.environ.get("ASTC_PIPELINE", "2")))
+    depth = max(1, int(os.environ.get("ASTC_PIPELINE", "3")))
     t0 = time.perf_counter()
     pending = []
     for ch in all_chunks:
@@ -154,14 +156,14 @@ def main():
     print(json.dumps(out))
 
 
-def _blockify(data, block):
+def _blockify_u8(data, block):
     bx, by = block
     H, W, _ = data.shape
     nx = (W + bx - 1) // bx
     ny = (H + by - 1) // by
     idx_x = np.minimum(np.arange(nx * bx), W - 1)
     idx_y = np.minimum(np.arange(ny * by), H - 1)
-    padded = data[np.ix_(idx_y, idx_x)].astype(np.float32) * (65535.0 / 255.0)
+    padded = data[np.ix_(idx_y, idx_x)].astype(np.uint8)
     blocks = padded.reshape(ny, by, nx, bx, 4).transpose(0, 2, 1, 3, 4)
     return blocks.reshape(ny * nx, by * bx, 4)
 
