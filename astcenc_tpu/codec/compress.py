@@ -254,8 +254,18 @@ def _trace_pass(tracer, bsd, recs, partition_count, plane_count, active,
                 cn.add("error_postrealign", float(e))
 
 
+def compress_stage_stats(dtables_key, enc_key, cfgs, texels):
+    """Run the split-stage pipeline recording the unfinished fraction
+    after each pass (diagnostic for wavefront-compaction sizing)."""
+    stats = []
+    compress_symbolic_batch(dtables_key, enc_key, cfgs, texels,
+                            stage_stats=stats)
+    N = texels.shape[0]
+    return [(name, float(np.sum(~np.asarray(m))) / N) for name, m in stats]
+
+
 def compress_symbolic_batch(dtables_key, enc_key, cfgs: _CfgStatic, texels,
-                            tracer=None):
+                            tracer=None, stage_stats=None):
     """Compress a batch of blocks to physical form. texels: (N, T, 4).
 
     Orchestrates separately-jitted stages so structurally identical trials
@@ -264,6 +274,30 @@ def compress_symbolic_batch(dtables_key, enc_key, cfgs: _CfgStatic, texels,
 
     tracer: optional codec.trace.Tracer — captures the reference's
     block/pass/candidate diagnostic tree (-dtrace); debug path only.
+    """
+    scb, aux = _stage1_1plane(dtables_key, enc_key, cfgs, texels,
+                              tracer=tracer, stage_stats=stage_stats)
+    scb = _stage2a_2plane(enc_key, cfgs, texels, scb,
+                          aux["quant_limit"], aux["best0"],
+                          tracer=tracer, stage_stats=stage_stats)
+    scb = _stage2b_multipart(enc_key, cfgs, texels, scb,
+                             aux["quant_limit"], aux["best0"],
+                             tracer=tracer, stage_stats=stage_stats)
+    return _finalize_pack(dtables_key, enc_key, cfgs, scb, aux)
+
+
+def _stage1_1plane(dtables_key, enc_key, cfgs: _CfgStatic, texels,
+                   tracer=None, stage_stats=None):
+    """Block state + constant detection + the 1-partition 1-plane trials.
+
+    Runs at full batch width; everything after it (2-plane, multi-
+    partition) can be wavefront-compacted to the unfinished lanes
+    (reference analog: the per-block early exits of compress_block,
+    astcenc_compress_symbolic.cpp:1283-1318).
+
+    Returns (scb, aux) where aux carries the (N,)-shaped state the later
+    stages and the finalize step need: is_const/const_color (finalize),
+    quant_limit/best0 (trial gating), skip2p (2-plane eligibility).
     """
     et: trial.EncoderTables = enc_key.tables
     dt = dtables_key.tables
@@ -355,12 +389,63 @@ def compress_symbolic_batch(dtables_key, enc_key, cfgs: _CfgStatic, texels,
         best_err_pcount[0] = jnp.minimum(best_err_pcount[0], errv)
         hit = errv < error_threshold * errorval_mult[i]
         scb["finished"] = scb["finished"] | hit
+        if stage_stats is not None:
+            stage_stats.append((f"1plane pc=1 pass{i}", scb["finished"]))
 
-    # --- 1 partition, 2 plane trials --------------------------------------------
-    # All four component passes fold into one (4N,) comp-major batched
-    # records computation (the per-component ideal variants the reference
-    # computes are the batch rows); the reference's sequential early-out
-    # bookkeeping replays afterwards on cheap (N,)-wide masks.
+    # 2-plane eligibility (fetched by the compaction driver alongside
+    # "finished" so ineligible lanes never enter the 2-plane stage).
+    if et.m2_quant.shape[0] > 0:
+        lowest_correl = _lowest_correlation(texels, trial.effective_cw(cfg, st))
+        skip2p = lowest_correl > cfg.tune_2plane_early_out_limit_correlation
+    else:
+        skip2p = jnp.ones((N,), bool)
+
+    aux = {
+        "is_const": is_const,
+        "const_color": const_color,
+        "quant_limit": quant_limit,
+        "best0": best_err_pcount[0],
+        "skip2p": skip2p,
+    }
+    return scb, aux
+
+
+def _block_trial_env(enc_key, cfgs: _CfgStatic, texels):
+    """Shared derivations the trial stages need: block state, the error
+    threshold, and the overshoot factor."""
+    cfg = cfgs
+    T = texels.shape[1]
+    st = make_block_state(
+        texels, cfg.channel_weights, cfg.profile,
+        alpha_weight=bool(cfg.flags & Flags.USE_ALPHA_WEIGHT))
+    cwe = trial.effective_cw(cfg, st)
+    ews = (jnp.sum(cwe, axis=-1) * T if isinstance(cwe, jnp.ndarray)
+           else float(sum(cfg.channel_weights)) * T)
+    l_scale = jnp.where(st["is_luminance"], 1.0 / 1.5, 1.0)
+    la_scale = jnp.where(st["is_luminancealpha"], 1.0 / 1.05, 1.0)
+    error_threshold = cfg.tune_db_limit * ews * l_scale * la_scale
+    overshoot = 1.0 / cfg.tune_mse_overshoot
+    return st, error_threshold, overshoot
+
+
+def _stage2a_2plane(enc_key, cfgs: _CfgStatic, texels, scb, quant_limit,
+                    best0, tracer=None, stage_stats=None):
+    """1-partition 2-plane trials (compactable stage).
+
+    All four component passes fold into one (4N,) comp-major batched
+    records computation (the per-component ideal variants the reference
+    computes are the batch rows); the reference's sequential early-out
+    bookkeeping replays afterwards on cheap (N,)-wide masks.
+    """
+    et: trial.EncoderTables = enc_key.tables
+    cfg = cfgs
+    profile = cfg.profile
+    u8_mask = (profile == int(Profile.LDR_SRGB)
+               or bool(cfg.flags & Flags.USE_DECODE_UNORM8))
+    N, T, _ = texels.shape
+    st, error_threshold, overshoot = _block_trial_env(enc_key, cfg, texels)
+    best_err_pcount = [best0, None, None, None]
+
     if et.m2_quant.shape[0] > 0:
         lowest_correl = _lowest_correlation(texels, trial.effective_cw(cfg, st))
         if tracer is not None:
@@ -400,8 +485,30 @@ def compress_symbolic_batch(dtables_key, enc_key, cfgs: _CfgStatic, texels,
                                      & (errv > best_err_pcount[0] * 1.85))
             hit = active & (errv < error_threshold)
             scb["finished"] = scb["finished"] | hit
+        if stage_stats is not None:
+            nskip = jnp.asarray(skip_two_plane)
+            stage_stats.append(("2plane corr-eligible", scb["finished"]
+                                | nskip))
+            stage_stats.append(("after 2plane", scb["finished"]))
+    return scb
 
-    # --- Multi partition trials -------------------------------------------------
+
+def _stage2b_multipart(enc_key, cfgs: _CfgStatic, texels, scb, quant_limit,
+                       best0, tracer=None, stage_stats=None):
+    """Multi-partition trials, pc = 2..partition_count_limit (compactable
+    stage)."""
+    et: trial.EncoderTables = enc_key.tables
+    cfg = cfgs
+    profile = cfg.profile
+    u8_mask = (profile == int(Profile.LDR_SRGB)
+               or bool(cfg.flags & Flags.USE_DECODE_UNORM8))
+    cw = cfg.channel_weights
+    bsd = enc_key.bsd
+    N, T, _ = texels.shape
+    st, error_threshold, overshoot = _block_trial_env(enc_key, cfg, texels)
+    best_err_pcount = [best0] + [
+        jnp.full((N,), jnp.float32(ERROR_CALC_DEFAULT)) for _ in range(3)]
+
     req_idx = (cfg.tune_2partition_index_limit,
                cfg.tune_3partition_index_limit,
                cfg.tune_4partition_index_limit)
@@ -471,8 +578,20 @@ def compress_symbolic_batch(dtables_key, enc_key, cfgs: _CfgStatic, texels,
 
         stop_out = best_err_pcount[pc - 1] > (best_prev * exit_factors[pc - 1])
         scb["finished"] = scb["finished"] | stop_out
+        if stage_stats is not None:
+            stage_stats.append((f"after pc={pc}", scb["finished"]))
+    return scb
 
-    # --- Fallback + constant blocks ---------------------------------------------
+
+def _finalize_pack(dtables_key, enc_key, cfgs: _CfgStatic, scb, aux):
+    """Fallback/constant-block selection + physical pack (full width)."""
+    et: trial.EncoderTables = enc_key.tables
+    profile = cfgs.profile
+    is_const = aux["is_const"]
+    const_color = aux["const_color"]
+    N = is_const.shape[0]
+    scb = dict(scb)
+
     fallback = scb["block_type_error"] & ~is_const
     if profile >= 2:
         scb["const_u16"] = fallback
@@ -513,8 +632,172 @@ def compress_symbolic_batch_mono_u8(dtables_key, enc_key, cfgs, texels_u8):
     return compress_symbolic_batch(dtables_key, enc_key, cfgs, texels)
 
 
+# ---------------------------------------------------------------------------
+# Wavefront-compacted execution (TPU production path).
+#
+# The reference encoder's throughput comes as much from its per-block early
+# exits as from its SIMD kernels: most blocks of a natural image hit the
+# quality threshold after the 1-partition trial and never pay for 2-plane or
+# multi-partition searches (astcenc_compress_symbolic.cpp:1283-1456). A
+# fully batched pipeline forfeits that — masked-off lanes still compute.
+# This driver restores the early-exit economics TPU-style:
+#
+#   stage1 (full batch)  ->  fetch 2 bytes/block of masks  ->  gather the
+#   unfinished lanes into fixed-size slices  ->  stage2a (2-plane) and
+#   stage2b (multi-partition) run only on survivors  ->  scatter back on
+#   device  ->  finalize + physical pack (full batch).
+#
+# Slices are a fixed static size (one compile each), dispatched
+# ceil(n_unfinished / S) times, so compilation count stays O(1) while
+# compute scales with the actual survivor count.
+# ---------------------------------------------------------------------------
+
+
+def _promote_texels(texels):
+    if texels.dtype == jnp.uint8:
+        return texels.astype(jnp.float32) * jnp.float32(65535.0 / 255.0)
+    return texels
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _c_stage1_jit(dtables_key, enc_key, cfgs, texels_any):
+    texels = _promote_texels(texels_any)
+    scb, aux = _stage1_1plane(dtables_key, enc_key, cfgs, texels)
+    # Single small host fetch: bit0 = finished, bit1 = skip 2-plane.
+    aux["hostmask"] = (scb["finished"].astype(jnp.uint8)
+                       | (aux["skip2p"].astype(jnp.uint8) << 1))
+    return scb, aux
+
+
+def _gather_lanes(tree, idx):
+    return {k: jnp.take(v, idx, axis=0, mode="clip")
+            for k, v in tree.items()}
+
+
+def _scatter_lanes(tree, idx, sub):
+    # Out-of-bounds rows (slice padding) drop; real rows are unique.
+    return {k: tree[k].at[idx].set(sub[k], mode="drop") for k in tree}
+
+
+def _c_stage2_jit_impl(enc_key, cfgs, texels_any, scb, quant_limit, best0,
+                       idx, which: str):
+    N = texels_any.shape[0]
+    valid = idx < N
+    tex_c = _promote_texels(jnp.take(texels_any, idx, axis=0, mode="clip"))
+    scb_c = _gather_lanes(scb, idx)
+    scb_c["finished"] = scb_c["finished"] | ~valid
+    ql_c = jnp.take(quant_limit, idx, axis=0, mode="clip")
+    b0_c = jnp.take(best0, idx, axis=0, mode="clip")
+    fn = _stage2a_2plane if which == "2a" else _stage2b_multipart
+    scb_c = fn(enc_key, cfgs, tex_c, scb_c, ql_c, b0_c)
+    return _scatter_lanes(scb, idx, scb_c)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _c_stage2a_jit(enc_key, cfgs, texels_any, scb, quant_limit, best0, idx):
+    return _c_stage2_jit_impl(enc_key, cfgs, texels_any, scb, quant_limit,
+                              best0, idx, "2a")
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _c_stage2b_jit(enc_key, cfgs, texels_any, scb, quant_limit, best0, idx):
+    return _c_stage2_jit_impl(enc_key, cfgs, texels_any, scb, quant_limit,
+                              best0, idx, "2b")
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _c_finalize_jit(dtables_key, enc_key, cfgs, scb, aux):
+    return _finalize_pack(dtables_key, enc_key, cfgs, scb, aux)
+
+
+def _slice_size(N: int) -> int:
+    env = os.environ.get("ASTC_COMPACT_SLICE")
+    if env:
+        return int(env)
+    return max(512, N // 4)
+
+
+class CompactState:
+    """In-flight per-chunk state for the compaction pipeline."""
+
+    __slots__ = ("tex_dev", "scb", "aux", "pcb")
+
+    def __init__(self, tex_dev, scb, aux):
+        self.tex_dev = tex_dev
+        self.scb = scb
+        self.aux = aux
+        self.pcb = None
+
+
+class CompactRunner:
+    """Three-phase compacted dispatch for one (context, config) pair.
+
+    Use as a software pipeline: start(chunk) dispatches stage1 (async);
+    middle(state) fetches the tiny mask and dispatches the compacted tail;
+    finish(state) fetches the packed blocks. Interleaving start/middle/
+    finish across chunks overlaps the mask round-trip with device compute.
+    """
+
+    def __init__(self, dtables_key, enc_key, cfgs: _CfgStatic):
+        self.dtables_key = dtables_key
+        self.enc_key = enc_key
+        self.cfgs = cfgs
+        self.has_2plane = enc_key.tables.m2_quant.shape[0] > 0
+        self.has_mp = cfgs.tune_partition_count_limit >= 2 and any(
+            enc_key.bsd.partitionings[pc]["count_selected"] > 0
+            for pc in range(2, cfgs.tune_partition_count_limit + 1))
+
+    def start(self, texels) -> CompactState:
+        tex_dev = (texels if isinstance(texels, jax.Array)
+                   else jax.device_put(texels))
+        scb, aux = _c_stage1_jit(self.dtables_key, self.enc_key, self.cfgs,
+                                 tex_dev)
+        return CompactState(tex_dev, scb, aux)
+
+    def _dispatch_slices(self, state, idx_np, fn):
+        N = state.tex_dev.shape[0]
+        S = _slice_size(N)
+        for lo in range(0, len(idx_np), S):
+            part = idx_np[lo:lo + S]
+            if len(part) < S:
+                part = np.concatenate(
+                    [part, np.full(S - len(part), N, np.int32)])
+            state.scb = fn(self.enc_key, self.cfgs, state.tex_dev,
+                           state.scb, state.aux["quant_limit"],
+                           state.aux["best0"], jnp.asarray(part))
+
+    def middle(self, state: CompactState) -> None:
+        mask = np.asarray(state.aux["hostmask"])
+        unfin = (mask & 1) == 0
+        if self.has_2plane:
+            idx_a = np.flatnonzero(unfin & ((mask & 2) == 0)).astype(np.int32)
+            if len(idx_a):
+                self._dispatch_slices(state, idx_a, _c_stage2a_jit)
+        if self.has_mp:
+            idx_b = np.flatnonzero(unfin).astype(np.int32)
+            if len(idx_b):
+                self._dispatch_slices(state, idx_b, _c_stage2b_jit)
+        state.pcb = _c_finalize_jit(self.dtables_key, self.enc_key,
+                                    self.cfgs, state.scb, state.aux)
+
+    def finish(self, state: CompactState) -> np.ndarray:
+        return np.asarray(state.pcb)
+
+    def run(self, texels) -> np.ndarray:
+        s = self.start(texels)
+        self.middle(s)
+        return self.finish(s)
+
+
 def _use_mono_jit() -> bool:
     env = os.environ.get("ASTC_MONO_JIT")
+    if env is not None:
+        return env not in ("0", "false", "no")
+    return jax.default_backend() != "cpu"
+
+
+def _use_compact() -> bool:
+    env = os.environ.get("ASTC_COMPACT")
     if env is not None:
         return env not in ("0", "false", "no")
     return jax.default_backend() != "cpu"
@@ -629,6 +912,11 @@ def compress_image(ctx, image, swizzle=(0, 1, 2, 3),
     n = blocks.shape[0]
     chunk = int(os.environ.get("ASTC_CHUNK", "16384"))
     ctx._cancel_requested = False
+
+    if tracer is None and _use_compact():
+        return _compress_chunks_compact(ctx, cfgs, blocks, chunk,
+                                        progress_callback)
+
     outs = []
     for lo in range(0, n, chunk):
         if getattr(ctx, "_cancel_requested", False):
@@ -660,6 +948,58 @@ def compress_image(ctx, image, swizzle=(0, 1, 2, 3),
         outs.append(np.asarray(pcb)[:m])
         if progress_callback is not None:
             progress_callback(min(100.0, 100.0 * (lo + m) / n))
+    return np.concatenate(outs, axis=0)
+
+
+def _compress_chunks_compact(ctx, cfgs, blocks, chunk, progress_callback):
+    """Chunked compaction pipeline: stage1 of chunk i+1 overlaps the mask
+    fetch + compacted tail of chunk i."""
+    runner = CompactRunner(ctx._dtables_key, ctx._enc_key, cfgs)
+    n = blocks.shape[0]
+    depth = max(1, int(os.environ.get("ASTC_PIPELINE", "2")))
+
+    parts = []
+    for lo in range(0, n, chunk):
+        part = blocks[lo:lo + chunk]
+        m = part.shape[0]
+        bucket = max(64, 1 << (m - 1).bit_length())
+        if bucket != m:
+            pad = np.broadcast_to(part[:1], (bucket - m,) + part.shape[1:])
+            part = np.concatenate([part, pad], axis=0)
+        parts.append((m, part))
+
+    outs = []
+    done = 0
+    q1, q2 = [], []
+
+    def _middle_one():
+        m, s = q1.pop(0)
+        runner.middle(s)
+        q2.append((m, s))
+
+    def _finish_one():
+        nonlocal done
+        m, s = q2.pop(0)
+        outs.append(runner.finish(s)[:m])
+        done += m
+        if progress_callback is not None:
+            progress_callback(min(100.0, 100.0 * done / n))
+
+    for m, part in parts:
+        if getattr(ctx, "_cancel_requested", False):
+            break
+        q1.append((m, runner.start(part)))
+        if len(q1) >= depth:
+            _middle_one()
+        if len(q2) >= depth:
+            _finish_one()
+    while q1:
+        _middle_one()
+    while q2:
+        _finish_one()
+    got = sum(o.shape[0] for o in outs)
+    if got < n:  # cancelled
+        outs.append(np.zeros((n - got, 16), np.uint8))
     return np.concatenate(outs, axis=0)
 
 

@@ -100,7 +100,14 @@ def main():
             c[0, 0, 0] = rng.randint(0, 256)
             all_chunks.append(jax.device_put(c))
 
-    fn = compress_mod.compress_symbolic_batch_mono_u8
+    use_compact = os.environ.get("ASTC_BENCH_MODE", "compact") == "compact"
+    runner = compress_mod.CompactRunner(ctx._dtables_key, ctx._enc_key, cfgs)
+    mono = compress_mod.compress_symbolic_batch_mono_u8
+
+    def run_warm(ch):
+        if use_compact:
+            return runner.run(ch)
+        return np.asarray(mono(ctx._dtables_key, ctx._enc_key, cfgs, ch))
 
     # Kernel compile gate + fallback ladder. The warmup dispatch forces
     # Mosaic compilation of every Pallas kernel family; fetch to host — on
@@ -113,8 +120,7 @@ def main():
             os.environ["ASTC_DISABLE_KERNELS"] = fallback
             jax.clear_caches()
         try:
-            np.asarray(fn(ctx._dtables_key, ctx._enc_key, cfgs,
-                          all_chunks[0]))
+            run_warm(all_chunks[0])
             disabled = fallback
             break
         except Exception as e:      # noqa: BLE001 - any compile/run error
@@ -123,22 +129,40 @@ def main():
     if disabled is None:
         raise SystemExit("bench: all kernel fallbacks failed")
 
-    # Pipelined dispatch: keep `depth` chunks in flight. np.asarray forces
-    # the host fetch (block_until_ready alone does not reliably wait on
-    # tunneled device backends); fetching chunk i-depth while i is on the
-    # device overlaps PCIe/tunnel transfer with compute.
+    # Pipelined dispatch: keep `depth` chunks in flight so the device never
+    # idles on host fetches. Compact mode: stage1 of chunk i+1 overlaps the
+    # mask round-trip + compacted tail of chunk i.
     depth = max(1, int(os.environ.get("ASTC_PIPELINE", "3")))
     t0 = time.perf_counter()
-    pending = []
-    for ch in all_chunks:
-        ti = time.perf_counter()
-        pending.append(fn(ctx._dtables_key, ctx._enc_key, cfgs, ch))
-        if len(pending) >= depth:
-            np.asarray(pending.pop(0))
-        if os.environ.get("ASTC_BENCH_VERBOSE"):
-            print(f"iter: {time.perf_counter()-ti:.3f}s", flush=True)
-    for p in pending:
-        np.asarray(p)
+    if use_compact:
+        q1, q2 = [], []
+        for ch in all_chunks:
+            ti = time.perf_counter()
+            q1.append(runner.start(ch))
+            if len(q1) >= depth:
+                s = q1.pop(0)
+                runner.middle(s)
+                q2.append(s)
+            if len(q2) >= depth:
+                runner.finish(q2.pop(0))
+            if os.environ.get("ASTC_BENCH_VERBOSE"):
+                print(f"iter: {time.perf_counter()-ti:.3f}s", flush=True)
+        for s in q1:
+            runner.middle(s)
+            q2.append(s)
+        for s in q2:
+            runner.finish(s)
+    else:
+        pending = []
+        for ch in all_chunks:
+            ti = time.perf_counter()
+            pending.append(mono(ctx._dtables_key, ctx._enc_key, cfgs, ch))
+            if len(pending) >= depth:
+                np.asarray(pending.pop(0))
+            if os.environ.get("ASTC_BENCH_VERBOSE"):
+                print(f"iter: {time.perf_counter()-ti:.3f}s", flush=True)
+        for p in pending:
+            np.asarray(p)
     dt = (time.perf_counter() - t0) / reps
 
     mts = n_texels / dt / 1e6
