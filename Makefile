@@ -9,7 +9,19 @@ REF      ?= /root/reference
 REFBUILD ?= /tmp/refbuild
 PY       ?= python
 
-.PHONY: test gate oracle native bench quality
+.PHONY: test gate oracle native bench quality smoke fuzz
+
+# Cold-start smoke tier (<60 s on a fresh clone, CPU only): table oracles,
+# BISE/quant codecs, and the physical block codec — no trial-pipeline
+# XLA compiles (those take minutes cold; see tools/run_suite.sh).
+smoke:
+	JAX_PLATFORMS=cpu $(PY) -m pytest tests/test_ise.py tests/test_quant.py \
+	  tests/test_bsd.py -q -x --no-header
+
+# Time-boxed differential container fuzz (malformed .astc/KTX/DDS inputs
+# must fail cleanly, never crash); corpus seeds in tests/data/fuzz.
+fuzz:
+	JAX_PLATFORMS=cpu $(PY) tools/fuzz_astc.py --time-budget 60
 
 # Per-file pytest processes: one long-lived pytest over tests/ can
 # segfault jax's XLA:CPU AOT cache loader on small hosts (see
@@ -31,7 +43,7 @@ oracle:
 native:
 	native/build.sh
 
-gate: oracle native
+gate: oracle native fuzz
 	# Per-file processes (tools/run_suite.sh: jax XLA:CPU AOT cache
 	# segfault containment + cross-process compile reuse); -rs prints
 	# skip reasons and the grep fails the gate on ANY skipped test so a

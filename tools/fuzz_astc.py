@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import struct
 import subprocess
 import sys
 import tempfile
@@ -140,7 +141,52 @@ def fuzz_encode(blocks_list, iters, seed):
     return findings
 
 
-def fuzz_container(iters, seed):
+_CORPUS_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tests", "data", "fuzz")
+
+
+def _clean_load(path):
+    """Load a container; return None on a clean typed failure, or the
+    exception on an unclean one (corpus and bit-flip fuzz share this
+    contract: malformed input must raise, never crash or hang)."""
+    from astcenc_tpu.io import ktx as ktx_io
+    from astcenc_tpu.io import dds as dds_io
+    try:
+        if path.endswith(".astc"):
+            astc_file.read_astc(path)
+        elif path.endswith((".ktx", ".KTX")):
+            ktx_io.read_ktx(path)
+        elif path.endswith((".dds", ".DDS")):
+            dds_io.read_dds(path)
+        else:
+            image_io.load_image(path)
+    except Exception as e:                       # noqa: BLE001
+        if type(e).__module__.startswith("astcenc_tpu") or isinstance(
+                e, (ValueError, OSError, KeyError, EOFError,
+                    NotImplementedError, struct.error)):
+            return None
+        return e
+    return None
+
+
+def fuzz_corpus():
+    """Committed malformed-container corpus (tests/data/fuzz): every file
+    must fail cleanly (reference analog: Test/Data corpora for the
+    OSS-Fuzz targets, Source/Fuzzers/)."""
+    findings = 0
+    names = (sorted(os.listdir(_CORPUS_DIR))
+             if os.path.isdir(_CORPUS_DIR) else [])
+    for name in names:
+        e = _clean_load(os.path.join(_CORPUS_DIR, name))
+        if e is not None:
+            print(f"[corpus] UNCLEAN ERROR on {name}: {type(e).__name__}")
+            findings += 1
+    print(f"[corpus] {len(names)} files ok", flush=True)
+    return findings
+
+
+def fuzz_container(iters, seed, time_budget=None):
+    import time as _time
     rng = np.random.RandomState(seed + 2)
     findings = 0
     with tempfile.NamedTemporaryFile(suffix=".astc", delete=False) as f:
@@ -149,6 +195,7 @@ def fuzz_container(iters, seed):
                          np.zeros((4, 16), np.uint8))
     base = open(base_path, "rb").read()
     os.unlink(base_path)
+    t0 = _time.time()
     for it in range(iters):
         for _ in range(256):
             buf = bytearray(base)
@@ -160,36 +207,40 @@ def fuzz_container(iters, seed):
                 f.write(bytes(buf))
                 path = f.name
             try:
-                astc_file.read_astc(path)
-            except Exception as e:
-                if type(e).__module__.startswith("astcenc_tpu") or \
-                        isinstance(e, (ValueError, OSError)):
-                    pass                         # clean, typed failure
-                else:
+                e = _clean_load(path)
+                if e is not None:
                     print(f"[container] UNCLEAN ERROR {type(e)}")
                     findings += 1
             finally:
                 os.unlink(path)
         print(f"[container] iter {it} ok", flush=True)
+        if time_budget and _time.time() - t0 > time_budget:
+            break
     return findings
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("target", choices=["decode", "encode", "container",
-                                       "all"])
+    ap.add_argument("target", nargs="?", default="gate",
+                    choices=["decode", "encode", "container", "corpus",
+                             "gate", "all"])
     ap.add_argument("--blocks", default="4x4,6x6,8x8,12x12")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--time-budget", type=float, default=None,
+                    help="seconds; container fuzz stops after this")
     args = ap.parse_args()
     blocks = args.blocks.split(",")
     findings = 0
+    if args.target in ("corpus", "gate", "all"):
+        findings += fuzz_corpus()
+    if args.target in ("container", "gate", "all"):
+        findings += fuzz_container(args.iters, args.seed,
+                                   time_budget=args.time_budget)
     if args.target in ("decode", "all"):
         findings += fuzz_decode(blocks, args.iters, args.seed)
     if args.target in ("encode", "all"):
         findings += fuzz_encode(blocks, args.iters, args.seed)
-    if args.target in ("container", "all"):
-        findings += fuzz_container(args.iters, args.seed)
     print(f"findings: {findings}")
     sys.exit(1 if findings else 0)
 
