@@ -495,8 +495,51 @@ def _stage2a_2plane(enc_key, cfgs: _CfgStatic, texels, scb, quant_limit,
 
 def _stage2b_multipart(enc_key, cfgs: _CfgStatic, texels, scb, quant_limit,
                        best0, tracer=None, stage_stats=None):
-    """Multi-partition trials, pc = 2..partition_count_limit (compactable
-    stage)."""
+    """Multi-partition trials, pc = 2..partition_count_limit."""
+    N = texels.shape[0]
+    pcs = _multipart_pcs(enc_key, cfgs)
+    best_prev = best0
+    for pc in range(2, cfgs.tune_partition_count_limit + 1):
+        if pc not in pcs:
+            # Level skipped: the next level's early-out baseline is the
+            # (never-written) default, matching the unsplit formulation.
+            best_prev = jnp.full((N,), jnp.float32(ERROR_CALC_DEFAULT))
+            continue
+        scb, best_prev = _stage2b_one_pc(
+            enc_key, cfgs, texels, scb, quant_limit, best_prev, pc,
+            tracer=tracer)
+        if stage_stats is not None:
+            stage_stats.append((f"after pc={pc}", scb["finished"]))
+    return scb
+
+
+def _multipart_pcs(enc_key, cfgs: _CfgStatic):
+    """Partition counts with any selected partitionings and trial budget."""
+    req_idx = (cfgs.tune_2partition_index_limit,
+               cfgs.tune_3partition_index_limit,
+               cfgs.tune_4partition_index_limit)
+    req_trials = (cfgs.tune_2partitioning_candidate_limit,
+                  cfgs.tune_3partitioning_candidate_limit,
+                  cfgs.tune_4partitioning_candidate_limit)
+    out = []
+    for pc in range(2, cfgs.tune_partition_count_limit + 1):
+        ntrials = min(req_trials[pc - 2], req_idx[pc - 2])
+        if enc_key.bsd.partitionings[pc]["count_selected"] and ntrials:
+            out.append(pc)
+    return tuple(out)
+
+
+def _stage2b_one_pc(enc_key, cfgs: _CfgStatic, texels, scb, quant_limit,
+                    best_prev, pc: int, tracer=None):
+    """One partition-count level of the multi-partition search (compactable:
+    each level's survivor set shrinks ~5x, so levels sync separately).
+
+    best_prev: (N,) best error of the previous pc level (chained across
+    levels; reference: best_errorvals_for_pcount,
+    astcenc_compress_symbolic.cpp:1329-1418).
+
+    Returns (scb, best_this_pc).
+    """
     et: trial.EncoderTables = enc_key.tables
     cfg = cfgs
     profile = cfg.profile
@@ -506,8 +549,7 @@ def _stage2b_multipart(enc_key, cfgs: _CfgStatic, texels, scb, quant_limit,
     bsd = enc_key.bsd
     N, T, _ = texels.shape
     st, error_threshold, overshoot = _block_trial_env(enc_key, cfg, texels)
-    best_err_pcount = [best0] + [
-        jnp.full((N,), jnp.float32(ERROR_CALC_DEFAULT)) for _ in range(3)]
+    best_this = jnp.full((N,), jnp.float32(ERROR_CALC_DEFAULT))
 
     req_idx = (cfg.tune_2partition_index_limit,
                cfg.tune_3partition_index_limit,
@@ -518,69 +560,62 @@ def _stage2b_multipart(enc_key, cfgs: _CfgStatic, texels, scb, quant_limit,
     exit_factors = (0.0, cfg.tune_2partition_early_out_limit_factor,
                     cfg.tune_3partition_early_out_limit_factor, 0.0)
 
-    for pc in range(2, cfg.tune_partition_count_limit + 1):
-        ntrials = min(req_trials[pc - 2], req_idx[pc - 2])
-        parts = bsd.partitionings[pc]
-        if parts["count_selected"] == 0 or ntrials == 0:
-            continue
-        seeds, valid = _psearch_jit(enc_key, cw, pc, req_idx[pc - 2],
-                                    ntrials, st)
+    ntrials = min(req_trials[pc - 2], req_idx[pc - 2])
+    parts = bsd.partitionings[pc]
+    seeds, valid = _psearch_jit(enc_key, cw, pc, req_idx[pc - 2],
+                                ntrials, st)
 
-        pot_all = jnp.asarray(parts["partition_of_texel"].astype(np.int32))
-        ptc_all = jnp.asarray(parts["partition_texel_count"].astype(np.int32))
-        pk_map = jnp.asarray(parts["packed_index"].astype(np.int32))
+    pot_all = jnp.asarray(parts["partition_of_texel"].astype(np.int32))
+    ptc_all = jnp.asarray(parts["partition_texel_count"].astype(np.int32))
+    pk_map = jnp.asarray(parts["packed_index"].astype(np.int32))
 
-        best_prev = best_err_pcount[pc - 2]
-        ntr = min(ntrials, seeds.shape[1])
-        # Fold the seed-candidate trials into one batched records pass
-        # (ti-major), then replay the sequential take/early-out bookkeeping.
-        pot_l, counts_l = [], []
-        for ti in range(ntr):
-            row = jnp.clip(pk_map[jnp.clip(seeds[:, ti], 0, 1023)], 0,
-                           pot_all.shape[0] - 1)
-            pot_l.append(pot_all[row])
-            counts_l.append(ptc_all[row])
-        st_f = {k: (jnp.concatenate([v] * ntr, 0)
-                    if getattr(v, "ndim", 0) else v)
-                for k, v in st.items()}
-        pot_f = jnp.concatenate(pot_l, 0)
-        counts_f = jnp.concatenate(counts_l, 0)
-        ql_f = jnp.concatenate([quant_limit] * ntr, 0)
-        ext_f = (valid[:, :ntr] & ~scb["finished"][:, None]
-                 ).T.reshape(ntr * N)
-        recs_p = _trial1_recs_jit(enc_key, cfg, profile, u8_mask, pc,
-                                  st_f, pot_f, counts_f, ql_f, ext_f)
+    ntr = min(ntrials, seeds.shape[1])
+    # Fold the seed-candidate trials into one batched records pass
+    # (ti-major), then replay the sequential take/early-out bookkeeping.
+    pot_l, counts_l = [], []
+    for ti in range(ntr):
+        row = jnp.clip(pk_map[jnp.clip(seeds[:, ti], 0, 1023)], 0,
+                       pot_all.shape[0] - 1)
+        pot_l.append(pot_all[row])
+        counts_l.append(ptc_all[row])
+    st_f = {k: (jnp.concatenate([v] * ntr, 0)
+                if getattr(v, "ndim", 0) else v)
+            for k, v in st.items()}
+    pot_f = jnp.concatenate(pot_l, 0)
+    counts_f = jnp.concatenate(counts_l, 0)
+    ql_f = jnp.concatenate([quant_limit] * ntr, 0)
+    ext_f = (valid[:, :ntr] & ~scb["finished"][:, None]
+             ).T.reshape(ntr * N)
+    recs_p = _trial1_recs_jit(enc_key, cfg, profile, u8_mask, pc,
+                              st_f, pot_f, counts_f, ql_f, ext_f)
 
-        for ti in range(ntr):
-            recs_i = {k: v.reshape((ntr, N) + v.shape[1:])[ti]
-                      for k, v in recs_p.items()}
-            ok = valid[:, ti]
-            if tracer is not None:
-                _trace_pass(tracer, enc_key.bsd, recs_i,
-                            partition_count=pc, plane_count=1,
-                            active=ok & ~scb["finished"],
-                            partition_index=np.asarray(seeds[:, ti]))
-            saved_fin = scb["finished"]
-            scb = dict(scb)
-            scb["finished"] = saved_fin | ~ok
-            scb, errv = trial.apply_records_1plane(
-                scb, recs_i, error_threshold * overshoot, pc, seeds[:, ti])
-            scb["finished"] = saved_fin
+    for ti in range(ntr):
+        recs_i = {k: v.reshape((ntr, N) + v.shape[1:])[ti]
+                  for k, v in recs_p.items()}
+        ok = valid[:, ti]
+        if tracer is not None:
+            _trace_pass(tracer, enc_key.bsd, recs_i,
+                        partition_count=pc, plane_count=1,
+                        active=ok & ~scb["finished"],
+                        partition_index=np.asarray(seeds[:, ti]))
+        saved_fin = scb["finished"]
+        scb = dict(scb)
+        scb["finished"] = saved_fin | ~ok
+        scb, errv = trial.apply_records_1plane(
+            scb, recs_i, error_threshold * overshoot, pc, seeds[:, ti])
+        scb["finished"] = saved_fin
 
-            errv = jnp.where(ok, errv, jnp.float32(ERROR_CALC_DEFAULT))
-            best_err_pcount[pc - 1] = jnp.minimum(best_err_pcount[pc - 1],
-                                                  errv)
-            # Inner early-outs (reference: :1400-1418)
-            scale_in = exit_factors[pc - 1] * 1.85
-            stop_in = best_err_pcount[pc - 1] > (best_prev * scale_in)
-            hit = errv < error_threshold
-            scb["finished"] = scb["finished"] | (stop_in & ok) | (hit & ok)
+        errv = jnp.where(ok, errv, jnp.float32(ERROR_CALC_DEFAULT))
+        best_this = jnp.minimum(best_this, errv)
+        # Inner early-outs (reference: :1400-1418)
+        scale_in = exit_factors[pc - 1] * 1.85
+        stop_in = best_this > (best_prev * scale_in)
+        hit = errv < error_threshold
+        scb["finished"] = scb["finished"] | (stop_in & ok) | (hit & ok)
 
-        stop_out = best_err_pcount[pc - 1] > (best_prev * exit_factors[pc - 1])
-        scb["finished"] = scb["finished"] | stop_out
-        if stage_stats is not None:
-            stage_stats.append((f"after pc={pc}", scb["finished"]))
-    return scb
+    stop_out = best_this > (best_prev * exit_factors[pc - 1])
+    scb["finished"] = scb["finished"] | stop_out
+    return scb, best_this
 
 
 def _finalize_pack(dtables_key, enc_key, cfgs: _CfgStatic, scb, aux):
@@ -679,30 +714,36 @@ def _scatter_lanes(tree, idx, sub):
     return {k: tree[k].at[idx].set(sub[k], mode="drop") for k in tree}
 
 
-def _c_stage2_jit_impl(enc_key, cfgs, texels_any, scb, quant_limit, best0,
-                       idx, which: str):
+def _c_gather_common(texels_any, scb, quant_limit, idx):
     N = texels_any.shape[0]
     valid = idx < N
     tex_c = _promote_texels(jnp.take(texels_any, idx, axis=0, mode="clip"))
     scb_c = _gather_lanes(scb, idx)
     scb_c["finished"] = scb_c["finished"] | ~valid
     ql_c = jnp.take(quant_limit, idx, axis=0, mode="clip")
-    b0_c = jnp.take(best0, idx, axis=0, mode="clip")
-    fn = _stage2a_2plane if which == "2a" else _stage2b_multipart
-    scb_c = fn(enc_key, cfgs, tex_c, scb_c, ql_c, b0_c)
-    return _scatter_lanes(scb, idx, scb_c)
+    return tex_c, scb_c, ql_c
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def _c_stage2a_jit(enc_key, cfgs, texels_any, scb, quant_limit, best0, idx):
-    return _c_stage2_jit_impl(enc_key, cfgs, texels_any, scb, quant_limit,
-                              best0, idx, "2a")
+    tex_c, scb_c, ql_c = _c_gather_common(texels_any, scb, quant_limit, idx)
+    b0_c = jnp.take(best0, idx, axis=0, mode="clip")
+    scb_c = _stage2a_2plane(enc_key, cfgs, tex_c, scb_c, ql_c, b0_c)
+    return _scatter_lanes(scb, idx, scb_c)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def _c_stage2b_jit(enc_key, cfgs, texels_any, scb, quant_limit, best0, idx):
-    return _c_stage2_jit_impl(enc_key, cfgs, texels_any, scb, quant_limit,
-                              best0, idx, "2b")
+@functools.partial(jax.jit, static_argnums=(0, 1, 8))
+def _c_stage2b_jit(enc_key, cfgs, texels_any, scb, quant_limit, best_prev,
+                   best_acc, idx, pc):
+    """One multi-partition level on the compacted lanes. best_prev is the
+    previous level's (N,) best; this level's per-lane best scatters into
+    best_acc (slices cover disjoint lanes)."""
+    tex_c, scb_c, ql_c = _c_gather_common(texels_any, scb, quant_limit, idx)
+    bp_c = jnp.take(best_prev, idx, axis=0, mode="clip")
+    scb_c, best_c = _stage2b_one_pc(enc_key, cfgs, tex_c, scb_c, ql_c,
+                                    bp_c, pc)
+    return (_scatter_lanes(scb, idx, scb_c),
+            best_acc.at[idx].set(best_c, mode="drop"))
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2))
@@ -717,25 +758,55 @@ def _slice_size(N: int) -> int:
     return max(512, N // 4)
 
 
+def _slice_pad(idx_np, S, N):
+    """Static-size slices of a lane-index list, padded with the
+    out-of-bounds sentinel N (gather clamps, scatter drops)."""
+    out = []
+    for lo in range(0, len(idx_np), S):
+        part = idx_np[lo:lo + S]
+        if len(part) < S:
+            part = np.concatenate([part, np.full(S - len(part), N,
+                                                 np.int32)])
+        out.append(part)
+    return out
+
+
+def _host_async(x):
+    """Start an async device->host copy; np.asarray later is cheap."""
+    try:
+        x.copy_to_host_async()
+    except AttributeError:
+        pass
+    return x
+
+
 class CompactState:
     """In-flight per-chunk state for the compaction pipeline."""
 
-    __slots__ = ("tex_dev", "scb", "aux", "pcb")
+    __slots__ = ("tex_dev", "scb", "aux", "pcb", "phase", "best_prev",
+                 "pending_mask")
 
     def __init__(self, tex_dev, scb, aux):
         self.tex_dev = tex_dev
         self.scb = scb
         self.aux = aux
         self.pcb = None
+        self.phase = 0
+        self.best_prev = None
+        self.pending_mask = None
 
 
 class CompactRunner:
-    """Three-phase compacted dispatch for one (context, config) pair.
+    """Phased compacted dispatch for one (context, config) pair.
 
-    Use as a software pipeline: start(chunk) dispatches stage1 (async);
-    middle(state) fetches the tiny mask and dispatches the compacted tail;
-    finish(state) fetches the packed blocks. Interleaving start/middle/
-    finish across chunks overlaps the mask round-trip with device compute.
+    Per chunk: stage1 -> [mask fetch] -> 2-plane + pc=2 slices ->
+    [mask fetch] -> pc=3 slices -> ... -> finalize -> result fetch.
+    Each mask fetch is 1 byte/block and is started asynchronously by the
+    previous phase, so a depth-2+ pipeline across chunks hides the
+    round-trips entirely.
+
+    step(state) advances one phase; done when it returns False.
+    run(texels) executes one chunk serially (tests, small images).
     """
 
     def __init__(self, dtables_key, enc_key, cfgs: _CfgStatic):
@@ -743,50 +814,107 @@ class CompactRunner:
         self.enc_key = enc_key
         self.cfgs = cfgs
         self.has_2plane = enc_key.tables.m2_quant.shape[0] > 0
-        self.has_mp = cfgs.tune_partition_count_limit >= 2 and any(
-            enc_key.bsd.partitionings[pc]["count_selected"] > 0
-            for pc in range(2, cfgs.tune_partition_count_limit + 1))
+        self.pcs = _multipart_pcs(enc_key, cfgs)
+        # Phase layout: 0 = post-stage1 (2a + first pc), then one phase per
+        # remaining pc, then finalize-fetch.
+        self.n_pc_phases = max(1, len(self.pcs))
 
     def start(self, texels) -> CompactState:
         tex_dev = (texels if isinstance(texels, jax.Array)
                    else jax.device_put(texels))
         scb, aux = _c_stage1_jit(self.dtables_key, self.enc_key, self.cfgs,
                                  tex_dev)
-        return CompactState(tex_dev, scb, aux)
+        st = CompactState(tex_dev, scb, aux)
+        st.pending_mask = _host_async(aux["hostmask"])
+        st.best_prev = aux["best0"]
+        return st
 
-    def _dispatch_slices(self, state, idx_np, fn):
+    def _dispatch_pc(self, state, idx_np, pc):
         N = state.tex_dev.shape[0]
-        S = _slice_size(N)
-        for lo in range(0, len(idx_np), S):
-            part = idx_np[lo:lo + S]
-            if len(part) < S:
-                part = np.concatenate(
-                    [part, np.full(S - len(part), N, np.int32)])
-            state.scb = fn(self.enc_key, self.cfgs, state.tex_dev,
-                           state.scb, state.aux["quant_limit"],
-                           state.aux["best0"], jnp.asarray(part))
+        best_acc = jnp.full((N,), jnp.float32(ERROR_CALC_DEFAULT))
+        for part in _slice_pad(idx_np, _slice_size(N), N):
+            state.scb, best_acc = _c_stage2b_jit(
+                self.enc_key, self.cfgs, state.tex_dev, state.scb,
+                state.aux["quant_limit"], state.best_prev, best_acc,
+                jnp.asarray(part), pc)
+        state.best_prev = best_acc
 
-    def middle(self, state: CompactState) -> None:
-        mask = np.asarray(state.aux["hostmask"])
-        unfin = (mask & 1) == 0
-        if self.has_2plane:
-            idx_a = np.flatnonzero(unfin & ((mask & 2) == 0)).astype(np.int32)
-            if len(idx_a):
-                self._dispatch_slices(state, idx_a, _c_stage2a_jit)
-        if self.has_mp:
-            idx_b = np.flatnonzero(unfin).astype(np.int32)
-            if len(idx_b):
-                self._dispatch_slices(state, idx_b, _c_stage2b_jit)
-        state.pcb = _c_finalize_jit(self.dtables_key, self.enc_key,
-                                    self.cfgs, state.scb, state.aux)
+    def _finalize(self, state):
+        state.pcb = _host_async(_c_finalize_jit(
+            self.dtables_key, self.enc_key, self.cfgs, state.scb,
+            state.aux))
+
+    def step(self, state: CompactState) -> bool:
+        """Advance one phase. Returns False once the result is ready to
+        fetch with finish()."""
+        ph = state.phase
+        state.phase += 1
+        N = state.tex_dev.shape[0]
+
+        if ph == 0:
+            mask = np.asarray(state.pending_mask)
+            unfin = (mask & 1) == 0
+            if self.has_2plane:
+                idx_a = np.flatnonzero(
+                    unfin & ((mask & 2) == 0)).astype(np.int32)
+                for part in _slice_pad(idx_a, _slice_size(N), N):
+                    state.scb = _c_stage2a_jit(
+                        self.enc_key, self.cfgs, state.tex_dev, state.scb,
+                        state.aux["quant_limit"], state.aux["best0"],
+                        jnp.asarray(part))
+            if self.pcs:
+                idx_b = np.flatnonzero(unfin).astype(np.int32)
+                self._dispatch_pc(state, idx_b, self.pcs[0])
+            if len(self.pcs) > 1:
+                state.pending_mask = _host_async(state.scb["finished"])
+            else:
+                self._finalize(state)
+            return True
+
+        if ph < self.n_pc_phases:
+            fin = np.asarray(state.pending_mask)
+            idx = np.flatnonzero(~fin).astype(np.int32)
+            if len(idx):
+                self._dispatch_pc(state, idx, self.pcs[ph])
+            if ph + 1 < self.n_pc_phases:
+                state.pending_mask = _host_async(state.scb["finished"])
+            else:
+                self._finalize(state)
+            return True
+
+        return False
 
     def finish(self, state: CompactState) -> np.ndarray:
         return np.asarray(state.pcb)
 
     def run(self, texels) -> np.ndarray:
         s = self.start(texels)
-        self.middle(s)
+        while self.step(s):
+            pass
         return self.finish(s)
+
+    def pipeline(self, chunks, depth: int = 2):
+        """Round-robin the phase machine over an iterable of chunks,
+        keeping up to `depth` chunks in flight; yields results in order."""
+        inflight = []
+        for ch in chunks:
+            inflight.append(self.start(ch))
+            if len(inflight) > depth:
+                s = inflight[0]
+                while self.step(s):
+                    pass
+                yield self.finish(inflight.pop(0))
+            else:
+                # Advance the oldest chunk one phase per submission so its
+                # mask fetches overlap newer chunks' stage1 compute.
+                for s in inflight:
+                    if s.phase < self.n_pc_phases:
+                        self.step(s)
+                        break
+        for s in inflight:
+            while self.step(s):
+                pass
+            yield self.finish(s)
 
 
 def _use_mono_jit() -> bool:
@@ -953,13 +1081,15 @@ def compress_image(ctx, image, swizzle=(0, 1, 2, 3),
 
 def _compress_chunks_compact(ctx, cfgs, blocks, chunk, progress_callback):
     """Chunked compaction pipeline: stage1 of chunk i+1 overlaps the mask
-    fetch + compacted tail of chunk i."""
+    fetches + compacted tails of chunk i."""
     runner = CompactRunner(ctx._dtables_key, ctx._enc_key, cfgs)
     n = blocks.shape[0]
     depth = max(1, int(os.environ.get("ASTC_PIPELINE", "2")))
 
     parts = []
     for lo in range(0, n, chunk):
+        if getattr(ctx, "_cancel_requested", False):
+            break
         part = blocks[lo:lo + chunk]
         m = part.shape[0]
         bucket = max(64, 1 << (m - 1).bit_length())
@@ -970,36 +1100,14 @@ def _compress_chunks_compact(ctx, cfgs, blocks, chunk, progress_callback):
 
     outs = []
     done = 0
-    q1, q2 = [], []
-
-    def _middle_one():
-        m, s = q1.pop(0)
-        runner.middle(s)
-        q2.append((m, s))
-
-    def _finish_one():
-        nonlocal done
-        m, s = q2.pop(0)
-        outs.append(runner.finish(s)[:m])
+    for (m, _), pcb in zip(parts,
+                           runner.pipeline((p for _, p in parts), depth)):
+        outs.append(pcb[:m])
         done += m
         if progress_callback is not None:
             progress_callback(min(100.0, 100.0 * done / n))
-
-    for m, part in parts:
-        if getattr(ctx, "_cancel_requested", False):
-            break
-        q1.append((m, runner.start(part)))
-        if len(q1) >= depth:
-            _middle_one()
-        if len(q2) >= depth:
-            _finish_one()
-    while q1:
-        _middle_one()
-    while q2:
-        _finish_one()
-    got = sum(o.shape[0] for o in outs)
-    if got < n:  # cancelled
-        outs.append(np.zeros((n - got, 16), np.uint8))
+    if done < n:  # cancelled before all chunks were submitted
+        outs.append(np.zeros((n - done, 16), np.uint8))
     return np.concatenate(outs, axis=0)
 
 

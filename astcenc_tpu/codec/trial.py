@@ -332,6 +332,17 @@ def trial1_records(st, et: EncoderTables, cfg, profile: int,
     dm_maxprec1_np = et.dm_maxprec1[dms_used]
     dm_color_np = et.dm_color[dms_used]
 
+    # Slice the weight axis to this pass's real maximum (e.g. the
+    # only-always pass at 6x6 peaks at 30 of 36 slots; 8x8 2-plane at 28
+    # of 64) — every (.., W, ..) tensor and kernel shrinks with it.
+    W_used = int(min(dec_int_np.shape[2],
+                     ((int(dec_wcount_np.max()) + 7) // 8) * 8))
+    if W_used < dec_int_np.shape[2]:
+        dec_int_np = dec_int_np[:, :, :W_used]
+        dec_sq_np = dec_sq_np[:, :, :W_used]
+        dec_f32_np = dec_f32_np[:, :, :W_used]
+        dm_color_np = dm_color_np[:, :W_used]
+
     pmask = ideal_ops.partition_onehot(pot)
 
     # --- Ideal endpoints and weights (3 vs 4 components per block) ----------
@@ -391,7 +402,10 @@ def trial1_records(st, et: EncoderTables, cfg, profile: int,
         comb_err, comb_fmt = fmts.combine_partitions(be, fm, pc)
         mod_bits = {2: 2, 3: 5, 4: 8}[pc]
 
-    C = cfg.tune_candidate_limit
+    # A pass over M modes can produce at most M distinct candidates (the
+    # only-always pass often has a single mode; refining C lanes of it
+    # would triple the kernel cost for nothing).
+    C = max(1, min(cfg.tune_candidate_limit, int(quant_m.shape[0])))
     R = cfg.tune_refinement_limit
     NC = N * C
 
@@ -488,8 +502,7 @@ def trial1_records(st, et: EncoderTables, cfg, profile: int,
         total_err = jnp.where(qwt_err >= 1e37,
                               jnp.float32(ERROR_CALC_DEFAULT),
                               bb["error"] + qwt_err)
-        cand_modes, cand_valid = fmts.select_candidates(
-            total_err, cfg.tune_candidate_limit)
+        cand_modes, cand_valid = fmts.select_candidates(total_err, C)
 
         # --- Candidate payload: candidates folded into the batch axis -----
         # Each candidate's refinement trajectory is independent of the
@@ -933,15 +946,35 @@ def trial2_records(st, et: EncoderTables, cfg, profile: int,
     min_wt_cutoff2 = jnp.min(
         jnp.where(err_lane, min_ep2, jnp.float32(ERROR_CALC_DEFAULT)), axis=1)
 
-    W = et.dec_int.shape[2]
-    wvalid_np = np.arange(W)[None, :] < et.dec_wcount[:, None]
+    # Decimation/weight-axis slicing to the 2-plane mode subset (2-plane
+    # grids are small: e.g. 25 of 36 weight slots at 6x6, 28 of 64 at 8x8).
+    quant_m = et.m2_quant
+    M2 = quant_m.shape[0]
+    assert M2 > 0, "caller must guard the no-2plane-modes case"
+    dms_used = np.unique(et.m2_dm)
+    dm_remap = np.zeros(et.dec_int.shape[0], np.int32)
+    dm_remap[dms_used] = np.arange(len(dms_used), dtype=np.int32)
+    dm_m = dm_remap[et.m2_dm]
+    dec2_int = et.dec_int[dms_used]
+    dec2_sq = et.dec_sq[dms_used]
+    dec2_f32 = et.dec_f32[dms_used]
+    dec2_wcount = et.dec_wcount[dms_used]
+    dm2_maxprec = et.dm_maxprec2[dms_used]
+    dm2_color = et.dm_color[dms_used]
+    W_used = int(min(dec2_int.shape[2],
+                     ((int(dec2_wcount.max()) + 7) // 8) * 8))
+    if W_used < dec2_int.shape[2]:
+        dec2_int = dec2_int[:, :, :W_used]
+        dec2_sq = dec2_sq[:, :, :W_used]
+        dec2_f32 = dec2_f32[:, :, :W_used]
+        dm2_color = dm2_color[:, :W_used]
+
+    W = dec2_int.shape[2]
+    D2 = dec2_int.shape[0]
+    wvalid_np = np.arange(W)[None, :] < dec2_wcount[:, None]
     max_wq = jnp.minimum(QUANT_32, quant_limit)
 
     # --- Merged endpoints + format tables --------------------------------------
-    quant_m = et.m2_quant
-    dm_m = et.m2_dm
-    M2 = quant_m.shape[0]
-    assert M2 > 0, "caller must guard the no-2plane-modes case"
     bitcount_np = 109 - et.m2_weight_bits
 
     sep = err_lane[:, None, :]  # (N, 1, 4)
@@ -957,14 +990,13 @@ def trial2_records(st, et: EncoderTables, cfg, profile: int,
     else:
         be, fm = fmts.color_error_tables_ldr(eci, ep0m, ep1m, counts1, cw)
 
-    C = cfg.tune_candidate_limit
+    C = max(1, min(cfg.tune_candidate_limit, int(M2)))
     R = cfg.tune_refinement_limit
     NC = N * C
-    W = et.dec_int.shape[2]
 
     pn = jnp.asarray(et.weight_prev_next)
     wvalid_j = jnp.asarray(wvalid_np)
-    color_j = jnp.asarray(et.dm_color)
+    color_j = jnp.asarray(dm2_color)
 
     def rep(x):
         return jnp.repeat(x, C, axis=0)
@@ -989,8 +1021,8 @@ def trial2_records(st, et: EncoderTables, cfg, profile: int,
             quant_m, dm_m, et.m2_weight_bits, et.m2_mode_index, 109,
             et.weight_quant_unquant, et.quant_mode_table, 0, 1,
             ang.TUNE_MAX_ANGULAR_QUANT)
-        ms_tabs = msearch_ops.MsTables(et.dec_int, et.dec_f32,
-                                       et.dec_wcount, et.dm_maxprec2)
+        ms_tabs = msearch_ops.MsTables(dec2_int, dec2_f32,
+                                       dec2_wcount, dm2_maxprec)
         ms = msearch_ops.mode_search(
             ms_tabs, ei1["weights"], ei1["weight_error_scale"],
             min_wt_cutoff1, max_wq, be[:, 0], fm[:, 0][..., None],
@@ -1008,16 +1040,16 @@ def trial2_records(st, et: EncoderTables, cfg, profile: int,
         wg2_0 = ms["uq2"].reshape(NC, W)
     else:
         # --- Ideal decimated weights + angular endpoints (XLA) ------------
-        dec_int_j = jnp.asarray(et.dec_int)
-        dec_sq_j = jnp.asarray(et.dec_sq)
-        dec_f32_j = jnp.asarray(et.dec_f32)
+        dec_int_j = jnp.asarray(dec2_int)
+        dec_sq_j = jnp.asarray(dec2_sq)
+        dec_f32_j = jnp.asarray(dec2_f32)
         di1 = ideal_ops.ideal_weights_for_decimation(
             ei1["weights"], ei1["weight_error_scale"], dec_int_j,
             dec_sq_j, dec_f32_j)
         di2 = ideal_ops.ideal_weights_for_decimation(
             ei2["weights"], ei2["weight_error_scale"], dec_int_j,
             dec_sq_j, dec_f32_j)
-        maxprec = jnp.asarray(et.dm_maxprec2)[None, :]
+        maxprec = jnp.asarray(dm2_maxprec)[None, :]
         max_precision = jnp.minimum(
             jnp.minimum(maxprec, ang.TUNE_MAX_ANGULAR_QUANT),
             max_wq[:, None])
@@ -1029,7 +1061,6 @@ def trial2_records(st, et: EncoderTables, cfg, profile: int,
         # --- Per-mode quantized weights + error ---------------------------
         ang_ok = quant_m <= ang.TUNE_MAX_ANGULAR_QUANT
         ql_idx = np.where(ang_ok, quant_m, 0)
-        D2 = et.dec_int.shape[0]
         oh_dq = np.zeros((M2, D2 * 8), np.float32)
         oh_dq[np.arange(M2), dm_m * 8 + ql_idx] = 1.0
         oh_dq_j = jnp.asarray(oh_dq)
@@ -1059,7 +1090,7 @@ def trial2_records(st, et: EncoderTables, cfg, profile: int,
             di2_m, lo2m, hi2m, jnp.asarray(et.weight_quant_unquant),
             jnp.asarray(_QUANT_LEVELS_M1), jnp.asarray(quant_m))
 
-        decf32_by_mode = jnp.asarray(et.dec_f32[dm_m])
+        decf32_by_mode = jnp.asarray(dec2_f32[dm_m])
         qwt_err = (ideal_ops.weight_set_error(
             uqf1, ei1["weights"], ei1["weight_error_scale"], decf32_by_mode)
             + ideal_ops.weight_set_error(
@@ -1073,8 +1104,7 @@ def trial2_records(st, et: EncoderTables, cfg, profile: int,
         total_err = jnp.where(qwt_err >= 1e37,
                               jnp.float32(ERROR_CALC_DEFAULT),
                               bb["error"] + qwt_err)
-        cand_modes, cand_valid = fmts.select_candidates(
-            total_err, cfg.tune_candidate_limit)
+        cand_modes, cand_valid = fmts.select_candidates(total_err, C)
 
         # Candidate payload selections (one-hot contractions; see the
         # 1-plane variant for rationale).
@@ -1124,7 +1154,7 @@ def trial2_records(st, et: EncoderTables, cfg, profile: int,
     ys_rounds = []
     if use_rk and profile < 2:
         # Whole-trial fused kernel (see _trial2_full_kernel).
-        rtabs = refine_ops.RefineTables(et.dec_int, et.dec_f32, et.dm_color,
+        rtabs = refine_ops.RefineTables(dec2_int, dec2_f32, dm2_color,
                                         wvalid_np, et.weight_prev_next)
         texk = refine_ops.pack_tex(tex_f)
         meta = refine_ops.pack_meta_full2(wg1_0, wg2_0, dm_f, wq_f, valid_f,
@@ -1147,7 +1177,7 @@ def trial2_records(st, et: EncoderTables, cfg, profile: int,
             ys_rounds.append((fmt4, vals4, w1_pre, w2_pre, err_pre,
                               w1_k[r], w2_k[r], errpost_k[r]))
     elif use_rk:
-        rtabs = refine_ops.RefineTables(et.dec_int, et.dec_f32, et.dm_color,
+        rtabs = refine_ops.RefineTables(dec2_int, dec2_f32, dm2_color,
                                         wvalid_np, et.weight_prev_next)
         texk = refine_ops.pack_tex(tex_f)
         zero4 = jnp.zeros((NC, 4), jnp.int32)
@@ -1183,8 +1213,8 @@ def trial2_records(st, et: EncoderTables, cfg, profile: int,
                               wg1, wg2, err_post))
     else:
         oh_dmf = lut_ops.onehot(dm_f, D2)                # (NC, D2)
-        Mint_f = jnp.einsum("nd,dtw->ntw", oh_dmf, jnp.asarray(et.dec_int))
-        Mf32_f = jnp.einsum("nd,dtw->ntw", oh_dmf, jnp.asarray(et.dec_f32))
+        Mint_f = jnp.einsum("nd,dtw->ntw", oh_dmf, jnp.asarray(dec2_int))
+        Mf32_f = jnp.einsum("nd,dtw->ntw", oh_dmf, jnp.asarray(dec2_f32))
         incid_f = (Mint_f != 0).astype(jnp.float32)
         wvalid_f = jnp.einsum("nd,dw->nw", oh_dmf,
                               wvalid_j.astype(jnp.float32)) > 0.5

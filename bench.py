@@ -135,23 +135,10 @@ def main():
     depth = max(1, int(os.environ.get("ASTC_PIPELINE", "3")))
     t0 = time.perf_counter()
     if use_compact:
-        q1, q2 = [], []
-        for ch in all_chunks:
-            ti = time.perf_counter()
-            q1.append(runner.start(ch))
-            if len(q1) >= depth:
-                s = q1.pop(0)
-                runner.middle(s)
-                q2.append(s)
-            if len(q2) >= depth:
-                runner.finish(q2.pop(0))
+        for _ in runner.pipeline(iter(all_chunks), depth):
             if os.environ.get("ASTC_BENCH_VERBOSE"):
-                print(f"iter: {time.perf_counter()-ti:.3f}s", flush=True)
-        for s in q1:
-            runner.middle(s)
-            q2.append(s)
-        for s in q2:
-            runner.finish(s)
+                print(f"chunk done: {time.perf_counter()-t0:.3f}s",
+                      flush=True)
     else:
         pending = []
         for ch in all_chunks:

@@ -32,9 +32,13 @@ def main():
     ap.add_argument("--trace", default="/tmp/astc_trace")
     ap.add_argument("--stage", action="store_true",
                     help="time the split-stage path per stage")
+    ap.add_argument("--compact", action="store_true",
+                    help="profile the wavefront-compacted runner")
     args = ap.parse_args()
 
     import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("ASTC_JAX_CACHE", "/tmp/jax_cache"))
 
     from astcenc_tpu import api
     from astcenc_tpu.config import Profile, Quality
@@ -65,7 +69,9 @@ def main():
     nxb, nyb = (W + bx - 1) // bx, (H + by - 1) // by
     idx_x = np.minimum(np.arange(nxb * bx), W - 1)
     idx_y = np.minimum(np.arange(nyb * by), H - 1)
-    padded = data[np.ix_(idx_y, idx_x)].astype(np.float32) * (65535.0 / 255.0)
+    # uint8 blocks, same as bench.py — device-side promotion, and the
+    # jit signatures (and so the persistent compile cache) match.
+    padded = data[np.ix_(idx_y, idx_x)].astype(np.uint8)
     blocks = padded.reshape(nyb, by, nxb, bx, 4).transpose(
         0, 2, 1, 3, 4).reshape(-1, by * bx, 4)
     n = blocks.shape[0]
@@ -74,7 +80,14 @@ def main():
         blocks = np.concatenate([blocks] * reps_needed)[:args.chunk]
     chunk = jax.device_put(blocks[:args.chunk])
 
-    fn = compress_mod.compress_symbolic_batch_mono
+    if args.compact:
+        runner = compress_mod.CompactRunner(ctx._dtables_key,
+                                            ctx._enc_key, cfgs)
+
+        def fn(_d, _e, _c, ch):
+            return runner.run(ch)
+    else:
+        fn = compress_mod.compress_symbolic_batch_mono_u8
     t0 = time.perf_counter()
     np.asarray(fn(ctx._dtables_key, ctx._enc_key, cfgs, chunk))
     print(f"compile+run: {time.perf_counter() - t0:.1f}s", flush=True)
