@@ -65,6 +65,8 @@ def main():
     args = ap.parse_args()
 
     import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("ASTC_JAX_CACHE", "/tmp/jax_cache"))
     import jax.numpy as jnp
 
     from astcenc_tpu import api
