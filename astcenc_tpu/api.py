@@ -59,6 +59,19 @@ def context_alloc(config: ASTCConfig, thread_count: int = 0) -> Context:
     self_decompress = bool(config.flags & Flags.SELF_DECOMPRESS_ONLY)
     can_omit = self_decompress and not decompress_only
 
+    # The context owns a converted copy of the config: the dB quality limit
+    # becomes a per-texel MSE threshold in the 0..65535 texel domain so the
+    # compressor's early exits compare raw squared error directly
+    # (reference: astcenc_context_alloc, astcenc_entry.cpp:809-821).
+    config = dataclasses.replace(config)
+    if not decompress_only:
+        if int(config.profile) in (int(Profile.LDR), int(Profile.LDR_SRGB)):
+            config.tune_db_limit = float(
+                np.float32(0.1) ** np.float32(config.tune_db_limit * 0.1)
+                * np.float32(65535.0) * np.float32(65535.0))
+        else:
+            config.tune_db_limit = 0.0
+
     bsd = build_bsd(config.block_x, config.block_y, config.block_z,
                     can_omit_modes=can_omit,
                     mode_cutoff=config.tune_block_mode_limit / 100.0,

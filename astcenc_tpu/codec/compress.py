@@ -724,20 +724,25 @@ def _c_gather_common(texels_any, scb, quant_limit, idx):
     return tex_c, scb_c, ql_c
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
+@functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(3,))
 def _c_stage2a_jit(enc_key, cfgs, texels_any, scb, quant_limit, best0, idx):
+    """scb is DONATED: the (N,)-wide state aliases in place, so the
+    scatter-back is a true in-place update instead of a full copy of every
+    state array per dispatch (profiled at ~1000 copy ops/chunk without)."""
     tex_c, scb_c, ql_c = _c_gather_common(texels_any, scb, quant_limit, idx)
     b0_c = jnp.take(best0, idx, axis=0, mode="clip")
     scb_c = _stage2a_2plane(enc_key, cfgs, tex_c, scb_c, ql_c, b0_c)
     return _scatter_lanes(scb, idx, scb_c)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 8))
+@functools.partial(jax.jit, static_argnums=(0, 1, 8),
+                   donate_argnums=(3, 6))
 def _c_stage2b_jit(enc_key, cfgs, texels_any, scb, quant_limit, best_prev,
                    best_acc, idx, pc):
     """One multi-partition level on the compacted lanes. best_prev is the
     previous level's (N,) best; this level's per-lane best scatters into
-    best_acc (slices cover disjoint lanes)."""
+    best_acc (slices cover disjoint lanes). scb and best_acc are DONATED
+    (in-place update, see _c_stage2a_jit)."""
     tex_c, scb_c, ql_c = _c_gather_common(texels_any, scb, quant_limit, idx)
     bp_c = jnp.take(best_prev, idx, axis=0, mode="clip")
     scb_c, best_c = _stage2b_one_pc(enc_key, cfgs, tex_c, scb_c, ql_c,
@@ -751,11 +756,21 @@ def _c_finalize_jit(dtables_key, enc_key, cfgs, scb, aux):
     return _finalize_pack(dtables_key, enc_key, cfgs, scb, aux)
 
 
-def _slice_size(N: int) -> int:
+def _slice_size(N: int, count: int | None = None) -> int:
+    """Static slice width for a compacted dispatch.
+
+    Power-of-two sized to the actual survivor count (padding waste < 2x)
+    and capped at N//4 so the compile-cache set stays small: slice widths
+    form the bounded ladder {256, 512, ..., N//4}.
+    """
     env = os.environ.get("ASTC_COMPACT_SLICE")
     if env:
         return int(env)
-    return max(512, N // 4)
+    cap = max(512, N // 4)
+    if count is None:
+        return cap
+    want = max(256, 1 << (max(count, 1) - 1).bit_length())
+    return min(cap, want)
 
 
 def _slice_pad(idx_np, S, N):
@@ -832,7 +847,7 @@ class CompactRunner:
     def _dispatch_pc(self, state, idx_np, pc):
         N = state.tex_dev.shape[0]
         best_acc = jnp.full((N,), jnp.float32(ERROR_CALC_DEFAULT))
-        for part in _slice_pad(idx_np, _slice_size(N), N):
+        for part in _slice_pad(idx_np, _slice_size(N, len(idx_np)), N):
             state.scb, best_acc = _c_stage2b_jit(
                 self.enc_key, self.cfgs, state.tex_dev, state.scb,
                 state.aux["quant_limit"], state.best_prev, best_acc,
@@ -857,7 +872,7 @@ class CompactRunner:
             if self.has_2plane:
                 idx_a = np.flatnonzero(
                     unfin & ((mask & 2) == 0)).astype(np.int32)
-                for part in _slice_pad(idx_a, _slice_size(N), N):
+                for part in _slice_pad(idx_a, _slice_size(N, len(idx_a)), N):
                     state.scb = _c_stage2a_jit(
                         self.enc_key, self.cfgs, state.tex_dev, state.scb,
                         state.aux["quant_limit"], state.aux["best0"],
@@ -883,6 +898,38 @@ class CompactRunner:
             return True
 
         return False
+
+    def prewarm(self, texels) -> None:
+        """Compile every (stage, slice-width) program the compacted
+        schedule can dispatch for this chunk shape, so steady-state runs
+        (and honest benchmarks) never hit a mid-stream XLA compile. The
+        slice ladder is data-dependent (survivor-count sized); one pass
+        over the real data only compiles the widths it happens to see."""
+        state = self.start(texels)
+        N = state.tex_dev.shape[0]
+        np.asarray(state.pending_mask)
+        sizes = set()
+        s = 256
+        while s < _slice_size(N):
+            sizes.add(s)
+            s *= 2
+        sizes.add(_slice_size(N))
+        for s in sorted(sizes):
+            idx = np.arange(min(s, N), dtype=np.int32)
+            part = _slice_pad(idx, s, N)[0]
+            if self.has_2plane:
+                state.scb = _c_stage2a_jit(
+                    self.enc_key, self.cfgs, state.tex_dev, state.scb,
+                    state.aux["quant_limit"], state.aux["best0"],
+                    jnp.asarray(part))
+            acc = jnp.full((N,), jnp.float32(ERROR_CALC_DEFAULT))
+            for pc in self.pcs:
+                state.scb, acc = _c_stage2b_jit(
+                    self.enc_key, self.cfgs, state.tex_dev, state.scb,
+                    state.aux["quant_limit"], state.best_prev, acc,
+                    jnp.asarray(part), pc)
+        self._finalize(state)
+        self.finish(state)
 
     def finish(self, state: CompactState) -> np.ndarray:
         return np.asarray(state.pcb)

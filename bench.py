@@ -106,6 +106,10 @@ def main():
 
     def run_warm(ch):
         if use_compact:
+            # Compiles every (stage, slice-width) the compacted schedule
+            # can dispatch, not just the widths chunk 0 happens to need —
+            # a mid-timing XLA compile would corrupt the measurement.
+            runner.prewarm(ch)
             return runner.run(ch)
         return np.asarray(mono(ctx._dtables_key, ctx._enc_key, cfgs, ch))
 

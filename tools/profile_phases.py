@@ -117,13 +117,18 @@ def main():
     prof["survivors"]["after_stage1"] = int(unfin.sum())
     prof["survivors"]["2plane_eligible"] = int(len(idx_a))
 
-    S = cm._slice_size(N)
-    prof["slice_size"] = S
+    prof["slice_size"] = cm._slice_size(N)
+
+    def clone(tree):
+        # Stage jits donate scb: give every timed rep its own device copy
+        # (cheap async device-side copies, outside the dominant costs).
+        import jax.numpy as _jnp
+        return {k: _jnp.copy(v) for k, v in tree.items()}
 
     # 2-plane phase on real survivor slices
     def run_2a():
-        s = dict(scb)
-        for part in cm._slice_pad(idx_a, S, N):
+        s = clone(scb)
+        for part in cm._slice_pad(idx_a, cm._slice_size(N, len(idx_a)), N):
             s = cm._c_stage2a_jit(ctx._enc_key, cfgs, tex, s,
                                   aux["quant_limit"], aux["best0"],
                                   jnp.asarray(part))
@@ -147,9 +152,9 @@ def main():
         bp = best_prev
 
         def run_pc(cur=cur, idx=idx, pc=pc, bp=bp):
-            s = dict(cur)
+            s = clone(cur)
             acc = jnp.full((N,), jnp.float32(cm.ERROR_CALC_DEFAULT))
-            for part in cm._slice_pad(idx, S, N):
+            for part in cm._slice_pad(idx, cm._slice_size(N, len(idx)), N):
                 s, acc = cm._c_stage2b_jit(
                     ctx._enc_key, cfgs, tex, s, aux["quant_limit"],
                     bp, acc, jnp.asarray(part), pc)
