@@ -19,11 +19,26 @@ _ENDIAN = 0x04030201
 _GL_RGBA = 0x1908
 _GL_SRGB8_ALPHA8 = 0x8C43
 _GL_UNSIGNED_BYTE = 0x1401
+_GL_UNSIGNED_SHORT = 0x1403
 _GL_HALF_FLOAT = 0x140B
 _GL_FLOAT = 0x1406
 _GL_RGBA8 = 0x8058
 _GL_RGBA16F = 0x881A
 _GL_RGBA32F = 0x8814
+
+# Uncompressed channel layouts (reference scanline_transfer matrix,
+# astcenccli_image_load_store.cpp:374-414): glFormat -> (components,
+# rgba source-channel map; -1 = fill 0, -2 = fill 1, >=0 = source index).
+_GL_CHANNEL_LAYOUTS = {
+    0x1903: (1, (0, -1, -1, -2)),   # GL_RED        -> (r, 0, 0, 1)
+    0x8227: (2, (0, 1, -1, -2)),    # GL_RG         -> (r, g, 0, 1)
+    0x1907: (3, (0, 1, 2, -2)),     # GL_RGB        -> (r, g, b, 1)
+    0x1908: (4, (0, 1, 2, 3)),      # GL_RGBA
+    0x80E0: (3, (2, 1, 0, -2)),     # GL_BGR        -> (r, g, b, 1)
+    0x80E1: (4, (2, 1, 0, 3)),      # GL_BGRA
+    0x1909: (1, (0, 0, 0, -2)),     # GL_LUMINANCE  -> (l, l, l, 1)
+    0x190A: (2, (0, 0, 0, 1)),      # GL_LUMINANCE_ALPHA
+}
 
 _2D_SIZES = ((4, 4), (5, 4), (5, 5), (6, 5), (6, 6), (8, 5), (8, 6), (8, 8),
              (10, 5), (10, 6), (10, 8), (10, 10), (12, 10), (12, 12))
@@ -135,15 +150,45 @@ def read_ktx(path):
         bx, by, bz, srgb = ASTC_GL_FORMATS[gl_ifmt]
         blocks = np.frombuffer(payload, np.uint8).reshape(-1, 16)
         return "astc", (bx, by, bz), (dx, dy, dz), blocks, srgb
-    # Uncompressed
+
+    # Uncompressed: full reference format matrix — {R, RG, RGB, RGBA, BGR,
+    # BGRA, L, LA} x {u8, u16, f16, f32}, expanded to canonical RGBA u8
+    # (LDR) / f16 (HDR) exactly like the reference's copy_scanline
+    # (astcenccli_image_load_store.cpp:427-660, :926-1200).
+    gl_fmt = fields[3]
+    if gl_fmt not in _GL_CHANNEL_LAYOUTS:
+        raise KtxError(f"unsupported glFormat 0x{gl_fmt:X}")
+    ncomp, chmap = _GL_CHANNEL_LAYOUTS[gl_fmt]
     if gl_type == _GL_UNSIGNED_BYTE:
-        arr_data = np.frombuffer(payload, np.uint8)
+        src = np.frombuffer(payload, np.uint8)
+    elif gl_type == _GL_UNSIGNED_SHORT:
+        src = np.frombuffer(payload, ">u2" if swap else "<u2")
     elif gl_type == _GL_HALF_FLOAT:
-        arr_data = np.frombuffer(payload, np.float16)
+        src = np.frombuffer(payload, ">f2" if swap else "<f2")
     elif gl_type == _GL_FLOAT:
-        arr_data = np.frombuffer(payload, np.float32)
+        src = np.frombuffer(payload, ">f4" if swap else "<f4")
     else:
         raise KtxError(f"unsupported glType 0x{gl_type:X}")
-    arr_data = arr_data.reshape(dz, dy, dx, -1)
+    if src.size < dz * dy * dx * ncomp:
+        raise KtxError("truncated KTX payload")
+    src = src[:dz * dy * dx * ncomp].reshape(dz, dy, dx, ncomp)
+    if gl_type == _GL_UNSIGNED_BYTE:
+        one = np.uint8(255)
+        conv = src
+    elif gl_type == _GL_UNSIGNED_SHORT:
+        # 16-bit unorm loads convert to fp16 (R16_TO_RGBA16F class).
+        one = np.float16(1.0)
+        conv = (src.astype(np.float32) / 65535.0).astype(np.float16)
+    else:
+        one = np.float16(1.0)
+        conv = src.astype(np.float16)
+    out = np.empty(conv.shape[:3] + (4,), conv.dtype)
+    for c, m in enumerate(chmap):
+        if m == -1:
+            out[..., c] = 0
+        elif m == -2:
+            out[..., c] = one
+        else:
+            out[..., c] = conv[..., m]
     srgb = gl_ifmt == _GL_SRGB8_ALPHA8
-    return "raw", None, (dx, dy, dz), arr_data, srgb
+    return "raw", None, (dx, dy, dz), out, srgb

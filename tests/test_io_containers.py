@@ -207,3 +207,102 @@ def test_exr_piz_corpus():
            / np.maximum(np.abs(h[..., :3]), 0.05))
     assert float(np.median(rel)) == 0.0
     assert float((rel.max(-1) > 0.2).mean()) < 1e-4
+
+
+def _ktx_raw(gl_type, gl_fmt, w, h, payload, type_size=1):
+    """Minimal uncompressed KTX v1 file (reference header layout,
+    astcenccli_image_load_store.cpp:873-905)."""
+    magic = bytes([0xAB, 0x4B, 0x54, 0x58, 0x20, 0x31, 0x31, 0xBB,
+                   0x0D, 0x0A, 0x1A, 0x0A])
+    hdr = struct.pack("<13I", 0x04030201, gl_type, type_size, gl_fmt,
+                      gl_fmt, gl_fmt, w, h, 0, 0, 1, 1, 0)
+    return magic + hdr + struct.pack("<I", len(payload)) + payload
+
+
+def test_ktx_uncompressed_luminance8(tmp_path):
+    # GL_LUMINANCE u8 -> (l, l, l, 255)
+    lum = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    p = str(tmp_path / "l8.ktx")
+    with open(p, "wb") as f:
+        f.write(_ktx_raw(0x1401, 0x1909, 4, 3, lum.tobytes()))
+    kind, _, dims, data, _ = ktx.read_ktx(p)
+    assert kind == "raw" and dims == (4, 3, 1)
+    assert data.dtype == np.uint8
+    np.testing.assert_array_equal(data[0, ..., 0], lum)
+    np.testing.assert_array_equal(data[0, ..., 1], lum)
+    np.testing.assert_array_equal(data[0, ..., 2], lum)
+    assert (data[0, ..., 3] == 255).all()
+
+
+def test_ktx_uncompressed_bgra8_and_rg16(tmp_path):
+    rng = np.random.RandomState(1)
+    bgra = rng.randint(0, 255, (2, 5, 4), np.uint8)
+    p = str(tmp_path / "bgra.ktx")
+    with open(p, "wb") as f:
+        f.write(_ktx_raw(0x1401, 0x80E1, 5, 2, bgra.tobytes()))
+    _, _, _, data, _ = ktx.read_ktx(p)
+    np.testing.assert_array_equal(data[0, ..., 0], bgra[..., 2])
+    np.testing.assert_array_equal(data[0, ..., 2], bgra[..., 0])
+    np.testing.assert_array_equal(data[0, ..., 3], bgra[..., 3])
+
+    # GL_RG u16 unorm -> fp16 (r, g, 0, 1)
+    rg = rng.randint(0, 65535, (2, 5, 2), np.uint16)
+    p2 = str(tmp_path / "rg16.ktx")
+    with open(p2, "wb") as f:
+        f.write(_ktx_raw(0x1403, 0x8227, 5, 2, rg.tobytes(), 2))
+    _, _, _, data2, _ = ktx.read_ktx(p2)
+    assert data2.dtype == np.float16
+    exp = (rg.astype(np.float32) / 65535.0).astype(np.float16)
+    np.testing.assert_array_equal(data2[0, ..., 0], exp[..., 0])
+    assert (data2[0, ..., 2] == 0).all() and (data2[0, ..., 3] == 1).all()
+
+
+def _dds_legacy(w, h, bitcount, masks, flags, payload):
+    """Minimal legacy (non-DX10) DDS file."""
+    ddspf = struct.pack("<8I", 32, flags, 0, bitcount, *masks)
+    header = struct.pack("<7I44s", 124, 1 | 2 | 4 | 0x1000, h, w,
+                         w * bitcount // 8, 1, 1, b"\0" * 44) + ddspf \
+        + struct.pack("<5I", 0x1000, 0, 0, 0, 0)
+    return struct.pack("<I", 0x20534444) + header + payload
+
+
+def test_dds_legacy_bgra8(tmp_path):
+    rng = np.random.RandomState(2)
+    bgra = rng.randint(0, 255, (3, 4, 4), np.uint8)
+    p = str(tmp_path / "bgra.dds")
+    with open(p, "wb") as f:
+        f.write(_dds_legacy(4, 3, 32, (0xFF0000, 0xFF00, 0xFF, 0xFF000000),
+                            0x41, bgra.tobytes()))
+    data, hdr = dds.read_dds(p)
+    assert not hdr
+    np.testing.assert_array_equal(data[0, ..., 0], bgra[..., 2])
+    np.testing.assert_array_equal(data[0, ..., 2], bgra[..., 0])
+
+
+def test_dds_legacy_l8_and_dx10_r16f(tmp_path):
+    lum = np.arange(20, dtype=np.uint8).reshape(4, 5)
+    p = str(tmp_path / "l8.dds")
+    with open(p, "wb") as f:
+        f.write(_dds_legacy(5, 4, 8, (0xFF, 0, 0, 0), 0x20000,
+                            lum.tobytes()))
+    data, hdr = dds.read_dds(p)
+    assert not hdr
+    np.testing.assert_array_equal(data[0, ..., 1], lum)
+    assert (data[0, ..., 3] == 255).all()
+
+    # DX10 R16_FLOAT -> (r, 0, 0, 1) float
+    r16 = np.linspace(0, 4, 20, dtype=np.float16).reshape(4, 5)
+    ddspf = struct.pack("<8I", 32, 4, 0x30315844, 0, 0, 0, 0, 0)
+    header = struct.pack("<7I44s", 124, 1 | 2 | 4 | 0x1000, 4, 5,
+                         10, 1, 1, b"\0" * 44) + ddspf \
+        + struct.pack("<5I", 0x1000, 0, 0, 0, 0)
+    dx10 = struct.pack("<5I", 54, 3, 0, 1, 0)
+    p2 = str(tmp_path / "r16f.dds")
+    with open(p2, "wb") as f:
+        f.write(struct.pack("<I", 0x20534444) + header + dx10
+                + r16.tobytes())
+    data2, hdr2 = dds.read_dds(p2)
+    assert hdr2
+    np.testing.assert_array_equal(data2[0, ..., 0],
+                                  r16.astype(np.float32))
+    assert (data2[0, ..., 1] == 0).all() and (data2[0, ..., 3] == 1).all()
