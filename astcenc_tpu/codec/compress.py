@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import functools
 import os
+import time
 
 import numpy as np
 
@@ -751,6 +752,30 @@ def _c_stage2b_jit(enc_key, cfgs, texels_any, scb, quant_limit, best_prev,
             best_acc.at[idx].set(best_c, mode="drop"))
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 8),
+                   donate_argnums=(3, 6))
+def _c_tail_a_jit(enc_key, cfgs, texels_any, scb, quant_limit, best0,
+                  best_acc, idx, pc):
+    """Fused post-stage1 tail: the 2-plane trials and the FIRST
+    multi-partition level run in one dispatch on the unfinished lanes.
+
+    The split formulation pays two dispatches plus two full state
+    gather/scatter passes over nearly identical lane sets ("2-plane
+    eligible" only prunes ~2% more lanes than "unfinished" on natural
+    images); each dispatch carries a fixed tunnel/launch cost comparable
+    to its compute, so halving the tail dispatch count nearly halves its
+    cost. Lanes the correlation gate skips are masked inside
+    _stage2a_2plane, so results are bit-identical to the split path.
+    scb and best_acc are donated (in-place scatter-back)."""
+    tex_c, scb_c, ql_c = _c_gather_common(texels_any, scb, quant_limit, idx)
+    b0_c = jnp.take(best0, idx, axis=0, mode="clip")
+    scb_c = _stage2a_2plane(enc_key, cfgs, tex_c, scb_c, ql_c, b0_c)
+    scb_c, best_c = _stage2b_one_pc(enc_key, cfgs, tex_c, scb_c, ql_c,
+                                    b0_c, pc)
+    return (_scatter_lanes(scb, idx, scb_c),
+            best_acc.at[idx].set(best_c, mode="drop"))
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1, 2))
 def _c_finalize_jit(dtables_key, enc_key, cfgs, scb, aux):
     return _finalize_pack(dtables_key, enc_key, cfgs, scb, aux)
@@ -795,6 +820,21 @@ def _host_async(x):
     return x
 
 
+# Host-blocking trace (ASTC_PIPE_TRACE=1): (label, seconds) per potentially
+# blocking host operation inside the compaction pipeline, so dispatch-vs-
+# fetch stalls can be attributed (tools/pipe_trace.py aggregates).
+PIPE_TRACE: list = []
+
+
+def _traced(label, fn):
+    if not os.environ.get("ASTC_PIPE_TRACE"):
+        return fn()
+    t0 = time.perf_counter()
+    out = fn()
+    PIPE_TRACE.append((label, time.perf_counter() - t0))
+    return out
+
+
 class CompactState:
     """In-flight per-chunk state for the compaction pipeline."""
 
@@ -833,12 +873,17 @@ class CompactRunner:
         # Phase layout: 0 = post-stage1 (2a + first pc), then one phase per
         # remaining pc, then finalize-fetch.
         self.n_pc_phases = max(1, len(self.pcs))
+        # Fused tail (see _c_tail_a_jit) needs both a 2-plane family and a
+        # first partition level to fuse; ASTC_FUSE_TAIL=0 forces the split
+        # dispatches (profiling / A-B comparison).
+        self.fuse_tail = (self.has_2plane and bool(self.pcs)
+                          and os.environ.get("ASTC_FUSE_TAIL", "1") != "0")
 
     def start(self, texels) -> CompactState:
         tex_dev = (texels if isinstance(texels, jax.Array)
-                   else jax.device_put(texels))
-        scb, aux = _c_stage1_jit(self.dtables_key, self.enc_key, self.cfgs,
-                                 tex_dev)
+                   else _traced("upload", lambda: jax.device_put(texels)))
+        scb, aux = _traced("dispatch_stage1", lambda: _c_stage1_jit(
+            self.dtables_key, self.enc_key, self.cfgs, tex_dev))
         st = CompactState(tex_dev, scb, aux)
         st.pending_mask = _host_async(aux["hostmask"])
         st.best_prev = aux["best0"]
@@ -848,16 +893,18 @@ class CompactRunner:
         N = state.tex_dev.shape[0]
         best_acc = jnp.full((N,), jnp.float32(ERROR_CALC_DEFAULT))
         for part in _slice_pad(idx_np, _slice_size(N, len(idx_np)), N):
-            state.scb, best_acc = _c_stage2b_jit(
-                self.enc_key, self.cfgs, state.tex_dev, state.scb,
-                state.aux["quant_limit"], state.best_prev, best_acc,
-                jnp.asarray(part), pc)
+            state.scb, best_acc = _traced(
+                "dispatch_pc%d" % pc,
+                lambda p=part, a=best_acc: _c_stage2b_jit(
+                    self.enc_key, self.cfgs, state.tex_dev, state.scb,
+                    state.aux["quant_limit"], state.best_prev, a,
+                    jnp.asarray(p), pc))
         state.best_prev = best_acc
 
     def _finalize(self, state):
-        state.pcb = _host_async(_c_finalize_jit(
-            self.dtables_key, self.enc_key, self.cfgs, state.scb,
-            state.aux))
+        state.pcb = _traced("dispatch_finalize", lambda: _host_async(
+            _c_finalize_jit(self.dtables_key, self.enc_key, self.cfgs,
+                            state.scb, state.aux)))
 
     def step(self, state: CompactState) -> bool:
         """Advance one phase. Returns False once the result is ready to
@@ -867,19 +914,37 @@ class CompactRunner:
         N = state.tex_dev.shape[0]
 
         if ph == 0:
-            mask = np.asarray(state.pending_mask)
+            mask = _traced("fetch_mask0",
+                           lambda: np.asarray(state.pending_mask))
             unfin = (mask & 1) == 0
-            if self.has_2plane:
-                idx_a = np.flatnonzero(
-                    unfin & ((mask & 2) == 0)).astype(np.int32)
-                for part in _slice_pad(idx_a, _slice_size(N, len(idx_a)), N):
-                    state.scb = _c_stage2a_jit(
-                        self.enc_key, self.cfgs, state.tex_dev, state.scb,
-                        state.aux["quant_limit"], state.aux["best0"],
-                        jnp.asarray(part))
-            if self.pcs:
-                idx_b = np.flatnonzero(unfin).astype(np.int32)
-                self._dispatch_pc(state, idx_b, self.pcs[0])
+            idx_b = np.flatnonzero(unfin).astype(np.int32)
+            if self.fuse_tail:
+                # Fused 2-plane + first-pc dispatch on the unfinished set.
+                best_acc = jnp.full((N,), jnp.float32(ERROR_CALC_DEFAULT))
+                for part in _slice_pad(idx_b, _slice_size(N, len(idx_b)),
+                                       N):
+                    state.scb, best_acc = _traced(
+                        "dispatch_tail_a",
+                        lambda p=part, a=best_acc: _c_tail_a_jit(
+                            self.enc_key, self.cfgs, state.tex_dev,
+                            state.scb, state.aux["quant_limit"],
+                            state.aux["best0"], a, jnp.asarray(p),
+                            self.pcs[0]))
+                state.best_prev = best_acc
+            else:
+                if self.has_2plane:
+                    idx_a = np.flatnonzero(
+                        unfin & ((mask & 2) == 0)).astype(np.int32)
+                    for part in _slice_pad(idx_a,
+                                           _slice_size(N, len(idx_a)), N):
+                        state.scb = _traced(
+                            "dispatch_2a",
+                            lambda p=part: _c_stage2a_jit(
+                                self.enc_key, self.cfgs, state.tex_dev,
+                                state.scb, state.aux["quant_limit"],
+                                state.aux["best0"], jnp.asarray(p)))
+                if self.pcs:
+                    self._dispatch_pc(state, idx_b, self.pcs[0])
             if len(self.pcs) > 1:
                 state.pending_mask = _host_async(state.scb["finished"])
             else:
@@ -887,7 +952,8 @@ class CompactRunner:
             return True
 
         if ph < self.n_pc_phases:
-            fin = np.asarray(state.pending_mask)
+            fin = _traced("fetch_mask%d" % ph,
+                          lambda: np.asarray(state.pending_mask))
             idx = np.flatnonzero(~fin).astype(np.int32)
             if len(idx):
                 self._dispatch_pc(state, idx, self.pcs[ph])
@@ -917,13 +983,20 @@ class CompactRunner:
         for s in sorted(sizes):
             idx = np.arange(min(s, N), dtype=np.int32)
             part = _slice_pad(idx, s, N)[0]
-            if self.has_2plane:
+            acc = jnp.full((N,), jnp.float32(ERROR_CALC_DEFAULT))
+            if self.fuse_tail:
+                state.scb, acc = _c_tail_a_jit(
+                    self.enc_key, self.cfgs, state.tex_dev, state.scb,
+                    state.aux["quant_limit"], state.aux["best0"], acc,
+                    jnp.asarray(part), self.pcs[0])
+            elif self.has_2plane:
                 state.scb = _c_stage2a_jit(
                     self.enc_key, self.cfgs, state.tex_dev, state.scb,
                     state.aux["quant_limit"], state.aux["best0"],
                     jnp.asarray(part))
-            acc = jnp.full((N,), jnp.float32(ERROR_CALC_DEFAULT))
             for pc in self.pcs:
+                if self.fuse_tail and pc == self.pcs[0]:
+                    continue
                 state.scb, acc = _c_stage2b_jit(
                     self.enc_key, self.cfgs, state.tex_dev, state.scb,
                     state.aux["quant_limit"], state.best_prev, acc,
@@ -932,7 +1005,7 @@ class CompactRunner:
         self.finish(state)
 
     def finish(self, state: CompactState) -> np.ndarray:
-        return np.asarray(state.pcb)
+        return _traced("fetch_result", lambda: np.asarray(state.pcb))
 
     def run(self, texels) -> np.ndarray:
         s = self.start(texels)

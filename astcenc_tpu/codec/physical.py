@@ -19,6 +19,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
+from ..ops import lut
 from ..tables import ise, quant
 from .decode_tables import (C_QUINT_PAD, C_SLOTS, C_TRIT_PAD, W_QUINT_PAD,
                             W_SLOTS, W_TRIT_PAD, DecodeTables)
@@ -92,6 +93,23 @@ def _rev128(words):
     return _bitrev32(words[:, ::-1])
 
 
+def _pk_row_tables(t: DecodeTables):
+    """Per-packed-mode scalar+stream descriptors as one (NM, C) int table,
+    so the per-block packed-mode lookup is a single one-hot contraction
+    (8 separate row gathers otherwise — gathers run near-scalar on TPU)."""
+    return np.concatenate([
+        t.bm_quant[:, None], t.bm_dual[:, None], t.bm_weight_bits[:, None],
+        t.w_count[:, None], t.w_bits[:, None], t.w_class[:, None],
+        t.w_m_off, t.w_t_off, t.w_t_bits, t.w_t_shift], axis=1)
+
+
+def _combo_row_tables(t: DecodeTables):
+    """Color-ISE descriptors per (quant, npairs) combo as one int table."""
+    return np.concatenate([
+        t.c_bits[:, None], t.c_class[:, None],
+        t.c_m_off, t.c_t_off, t.c_t_bits, t.c_t_shift], axis=1)
+
+
 def _ise_fields(symbols, nvals, bits, tclass, m_off, t_off, t_bits, t_shift,
                 base_off, trit_pad, quint_pad):
     """BISE stream -> (offsets, values, widths, valid) field arrays.
@@ -108,17 +126,20 @@ def _ise_fields(symbols, nvals, bits, tclass, m_off, t_off, t_bits, t_shift,
     m = symbols & ((1 << bits) - 1)
     hi = jnp.where(valid, symbols >> bits, 0)
 
-    # Trit groups of 5
+    # Trit groups of 5 (one-hot contraction, not gather: codes <= 255 are
+    # exact through the f32 LUT path)
     hi5 = jnp.pad(hi, ((0, 0), (0, trit_pad - S))).reshape(N, trit_pad // 5, 5)
     tidx = (hi5[..., 4] * 81 + hi5[..., 3] * 27 + hi5[..., 2] * 9
             + hi5[..., 1] * 3 + hi5[..., 0])
-    T5 = jnp.asarray(_trit_encode_flat())[jnp.clip(tidx, 0, 242)]
+    T5 = lut.lookup_const(_trit_encode_flat(),
+                          jnp.clip(tidx, 0, 242)).astype(jnp.int32)
     T5 = jnp.repeat(T5, 5, axis=1)[:, :S]
 
     # Quint groups of 3
     hi3 = jnp.pad(hi, ((0, 0), (0, quint_pad - S))).reshape(N, quint_pad // 3, 3)
     qidx = hi3[..., 2] * 25 + hi3[..., 1] * 5 + hi3[..., 0]
-    T3 = jnp.asarray(_quint_encode_flat())[jnp.clip(qidx, 0, 124)]
+    T3 = lut.lookup_const(_quint_encode_flat(),
+                          jnp.clip(qidx, 0, 124)).astype(jnp.int32)
     T3 = jnp.repeat(T3, 3, axis=1)[:, :S]
 
     tcode = jnp.where((tclass == 1)[:, None], T5,
@@ -139,25 +160,36 @@ def symbolic_to_physical_batch(tables: DecodeTables, scb) -> jnp.ndarray:
 
     block_mode = scb["block_mode"]
     pc = scb["partition_count"]
-    pidx_tbl = jnp.asarray(t.block_mode_packed_index)
-    pk = jnp.clip(pidx_tbl[jnp.clip(block_mode, 0, 2047)], 0,
-                  t.bm_quant.shape[0] - 1)
+    pk = jnp.clip(
+        lut.lookup_const(t.block_mode_packed_index.astype(np.int32),
+                         jnp.clip(block_mode, 0, 2047)).astype(jnp.int32),
+        0, t.bm_quant.shape[0] - 1)
 
-    wq = jnp.asarray(t.bm_quant)[pk]
-    dual = jnp.asarray(t.bm_dual)[pk]
-    wbits_total = jnp.asarray(t.bm_weight_bits)[pk]
-    w_count = jnp.asarray(t.w_count)[pk]             # real (interleaved) count
+    # One fused per-packed-mode row lookup (values <= 128, f32-exact)
+    pkrow = lut.lookup_const(_pk_row_tables(t), pk)       # (N, 6+4*W) f32
+    pkrow_i = pkrow.astype(jnp.int32)
+    wq = pkrow_i[:, 0]
+    dual = pkrow_i[:, 1]
+    wbits_total = pkrow_i[:, 2]
+    w_count = pkrow_i[:, 3]                  # real (interleaved) count
+    w_bits = pkrow_i[:, 4][:, None]
+    w_class = pkrow_i[:, 5]
+    w_m_off = pkrow_i[:, 6:6 + W_SLOTS]
+    w_t_off = pkrow_i[:, 6 + W_SLOTS:6 + 2 * W_SLOTS]
+    w_t_bits = pkrow_i[:, 6 + 2 * W_SLOTS:6 + 3 * W_SLOTS]
+    w_t_shift = pkrow_i[:, 6 + 3 * W_SLOTS:6 + 4 * W_SLOTS]
 
     # --- Weight stream --------------------------------------------------------
-    levels_m1 = jnp.asarray(np.array(
-        [1, 2, 3, 4, 5, 7, 9, 11, 15, 19, 23, 31], np.float32))[wq]
+    levels_m1 = lut.lookup_const(np.array(
+        [1, 2, 3, 4, 5, 7, 9, 11, 15, 19, 23, 31], np.float32), wq)
     uqw = scb["weights"].astype(jnp.float32)         # (N, 64) 0..64
     uqw2 = scb["weights2"].astype(jnp.float32)
     qw1 = jnp.floor(uqw / 64.0 * levels_m1[:, None] + 0.5).astype(jnp.int32)
     qw2 = jnp.floor(uqw2 / 64.0 * levels_m1[:, None] + 0.5).astype(jnp.int32)
-    scram = jnp.asarray(_weight_scramble_tables())
-    s1 = scram[wq[:, None], jnp.clip(qw1, 0, 31)]
-    s2 = scram[wq[:, None], jnp.clip(qw2, 0, 31)]
+    # Per-block scramble row (12x32 table), then row lookup by weight value
+    scram_rows = lut.lookup_const(_weight_scramble_tables(), wq)  # (N, 32)
+    s1 = lut.lookup_rows(scram_rows, jnp.clip(qw1, 0, 31)).astype(jnp.int32)
+    s2 = lut.lookup_rows(scram_rows, jnp.clip(qw2, 0, 31)).astype(jnp.int32)
 
     # Interleave for dual-plane blocks
     inter = jnp.zeros((N, W_SLOTS), jnp.int32)
@@ -165,12 +197,9 @@ def symbolic_to_physical_batch(tables: DecodeTables, scb) -> jnp.ndarray:
     inter = inter.at[:, 1::2].set(s2[:, :32])
     symbols = jnp.where((dual == 1)[:, None], inter, s1)
 
-    w_bits = jnp.asarray(t.w_bits)[pk][:, None]
-    w_class = jnp.asarray(t.w_class)[pk]
     wf_off, wf_val, wf_wid, wf_ok = _ise_fields(
         symbols, w_count, w_bits, w_class,
-        jnp.asarray(t.w_m_off)[pk], jnp.asarray(t.w_t_off)[pk],
-        jnp.asarray(t.w_t_bits)[pk], jnp.asarray(t.w_t_shift)[pk],
+        w_m_off, w_t_off, w_t_bits, w_t_shift,
         jnp.zeros((N, 1), jnp.int32), W_TRIT_PAD, W_QUINT_PAD)
     # Weights fill from bit 127 downward: build forward, bit-reverse.
     words = _rev128(_field_words(wf_off, wf_val, wf_wid, wf_ok))
@@ -231,25 +260,35 @@ def symbolic_to_physical_batch(tables: DecodeTables, scb) -> jnp.ndarray:
     icount = jnp.sum(nvals_p, axis=1)
 
     cq = jnp.clip(scb["quant_mode"], 4, 20)
-    packt = jnp.asarray(_color_pack_tables())
     cvals = scb["color_values"]                                # (N, 4, 8)
-    csym = packt[(cq - 4)[:, None, None], jnp.clip(cvals, 0, 255)]
+    # Per-block color-pack row (17x256), then row lookup by color value
+    pack_rows = lut.lookup_const(_color_pack_tables(), cq - 4)  # (N, 256)
+    csym = lut.lookup_rows(
+        pack_rows, jnp.clip(cvals, 0, 255).reshape(N, 32)
+    ).astype(jnp.int32).reshape(N, 4, 8)
 
-    # Scatter per-partition values into the flat stream
-    flat = jnp.zeros((N, C_SLOTS), jnp.int32)
+    # Per-partition values -> flat stream via one-hot accumulation (the
+    # .at[].add scatter formulation serializes on TPU)
     j8 = jnp.arange(8)[None, None, :]
     sidx = jnp.clip(starts[:, :, None] + j8, 0, C_SLOTS - 1)
     sval = jnp.where(j8 < nvals_p[:, :, None], csym, 0)
-    flat = flat.at[jnp.arange(N)[:, None, None], sidx].add(sval)
+    oh = lut.onehot(sidx.reshape(N, 32), C_SLOTS)          # (N, 32, S)
+    flat = jnp.einsum("nk,nks->ns", sval.reshape(N, 32).astype(jnp.float32),
+                      oh).astype(jnp.int32)
 
     combo = jnp.clip((cq - 4) * 9 + ((icount >> 1) - 1), 0, 152)
-    c_bits = jnp.asarray(t.c_bits)[combo][:, None]
-    c_class = jnp.asarray(t.c_class)[combo]
+    crow = lut.lookup_const(_combo_row_tables(t), combo)   # (N, 2+4*S) f32
+    crow_i = crow.astype(jnp.int32)
+    c_bits = crow_i[:, 0][:, None]
+    c_class = crow_i[:, 1]
+    c_m_off = crow_i[:, 2:2 + C_SLOTS]
+    c_t_off = crow_i[:, 2 + C_SLOTS:2 + 2 * C_SLOTS]
+    c_t_bits = crow_i[:, 2 + 2 * C_SLOTS:2 + 3 * C_SLOTS]
+    c_t_shift = crow_i[:, 2 + 3 * C_SLOTS:2 + 4 * C_SLOTS]
     base = jnp.where(is_multi, 29, 17)[:, None]
     cf_off, cf_val, cf_wid, cf_ok = _ise_fields(
         flat, icount, c_bits, c_class,
-        jnp.asarray(t.c_m_off)[combo], jnp.asarray(t.c_t_off)[combo],
-        jnp.asarray(t.c_t_bits)[combo], jnp.asarray(t.c_t_shift)[combo],
+        c_m_off, c_t_off, c_t_bits, c_t_shift,
         base, C_TRIT_PAD, C_QUINT_PAD)
 
     words = words + _field_words(

@@ -72,38 +72,42 @@ def bench_one(block, quality, size, reps, chunk):
     cfgs = cm._CfgStatic(ctx.config)
 
     tx = load_blocks(size, bx, by)
-    n_texels = tx.shape[0] * tx.shape[1]
-    pad = (-tx.shape[0]) % chunk
-    if pad:
-        tx = np.concatenate([tx, np.broadcast_to(tx[:1],
-                                                 (pad,) + tx.shape[1:])])
+    # Full fixed-size chunks from a cyclically-extended block stream
+    # (bench.py scheme): every encoded block is real work.
     rng = np.random.RandomState(1)
-    chunks = []
+    stream = []
     for r in range(reps):
-        for i in range(0, tx.shape[0], chunk):
-            c = tx[i:i + chunk].copy()
-            c[0, 0, 0] = rng.randint(0, 256)
-            chunks.append(jax.device_put(c))
+        c = tx.copy()
+        c[0, 0, 0] = rng.randint(0, 256)
+        stream.append(c)
+    stream = np.concatenate(stream, 0)
+    pad = (-stream.shape[0]) % chunk
+    if pad:
+        stream = np.concatenate([stream, stream[:pad]], 0)
+    n_texels_total = stream.shape[0] * tx.shape[1]
+    chunks = [jax.device_put(stream[i:i + chunk])
+              for i in range(0, stream.shape[0], chunk)]
 
     runner = cm.CompactRunner(ctx._dtables_key, ctx._enc_key, cfgs)
+    runner.prewarm(chunks[0])
     out_blocks = runner.run(chunks[0])  # warm / compile
-    depth = max(1, int(os.environ.get("ASTC_PIPELINE", "3")))
+    depth = max(1, int(os.environ.get("ASTC_PIPELINE", "4")))
     t0 = time.perf_counter()
     for _ in runner.pipeline(iter(chunks), depth):
         pass
-    enc_dt = (time.perf_counter() - t0) / reps
+    enc_dt = time.perf_counter() - t0
 
     # Decode rate: same blocks through the batched decoder.
-    from astcenc_tpu.codec import decompress as dec
     w = h = size
-    d0 = api.decompress_image(ctx, out_blocks[:tx.shape[0]], w, h, 1,
-                              out_type="u8")
+    n_img = (-(-size // bx)) * (-(-size // by))
+    api.decompress_image(ctx, out_blocks[:n_img], w, h, 1, out_type="u8")
     t0 = time.perf_counter()
     for _ in range(reps):
-        np.asarray(api.decompress_image(ctx, out_blocks[:tx.shape[0]],
+        np.asarray(api.decompress_image(ctx, out_blocks[:n_img],
                                         w, h, 1, out_type="u8"))
     dec_dt = (time.perf_counter() - t0) / reps
-    return n_texels / enc_dt / 1e6, n_texels / dec_dt / 1e6
+    n_texels = n_img * tx.shape[1]
+    return n_texels_total / enc_dt / 1e6, n_texels / dec_dt / 1e6
 
 
 def main():
@@ -112,7 +116,7 @@ def main():
     ap.add_argument("--size", type=int, default=1024)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--chunk", type=int,
-                    default=int(os.environ.get("ASTC_CHUNK", "8192")))
+                    default=int(os.environ.get("ASTC_CHUNK", "65536")))
     ap.add_argument("--out")
     args = ap.parse_args()
 

@@ -125,25 +125,47 @@ def main():
         import jax.numpy as _jnp
         return {k: _jnp.copy(v) for k, v in tree.items()}
 
-    # 2-plane phase on real survivor slices
-    def run_2a():
-        s = clone(scb)
-        for part in cm._slice_pad(idx_a, cm._slice_size(N, len(idx_a)), N):
-            s = cm._c_stage2a_jit(ctx._enc_key, cfgs, tex, s,
-                                  aux["quant_limit"], aux["best0"],
-                                  jnp.asarray(part))
-        sync(s)
-        return s
-    if runner.has_2plane and len(idx_a):
-        prof["phases_ms"]["stage2a_2plane"] = 1e3 * timed(run_2a, args.reps)
-        scb2 = run_2a()
+    # Post-stage1 tail on real survivor slices. Production (fuse_tail)
+    # runs 2-plane + the first partition level in ONE dispatch
+    # (_c_tail_a_jit); the split formulation stays timeable with
+    # ASTC_FUSE_TAIL=0.
+    if runner.fuse_tail:
+        def run_tail():
+            s = clone(scb)
+            acc = jnp.full((N,), jnp.float32(cm.ERROR_CALC_DEFAULT))
+            for part in cm._slice_pad(idx_b,
+                                      cm._slice_size(N, len(idx_b)), N):
+                s, acc = cm._c_tail_a_jit(
+                    ctx._enc_key, cfgs, tex, s, aux["quant_limit"],
+                    aux["best0"], acc, jnp.asarray(part), runner.pcs[0])
+            sync(s)
+            return s, acc
+        prof["phases_ms"]["tail_2plane_pc%d" % runner.pcs[0]] = 1e3 * timed(
+            lambda: run_tail(), args.reps)
+        scb2, best_prev = run_tail()
+        rest_pcs = runner.pcs[1:]
     else:
-        scb2 = dict(scb)
+        def run_2a():
+            s = clone(scb)
+            for part in cm._slice_pad(idx_a,
+                                      cm._slice_size(N, len(idx_a)), N):
+                s = cm._c_stage2a_jit(ctx._enc_key, cfgs, tex, s,
+                                      aux["quant_limit"], aux["best0"],
+                                      jnp.asarray(part))
+            sync(s)
+            return s
+        if runner.has_2plane and len(idx_a):
+            prof["phases_ms"]["stage2a_2plane"] = 1e3 * timed(run_2a,
+                                                              args.reps)
+            scb2 = run_2a()
+        else:
+            scb2 = dict(scb)
+        best_prev = aux["best0"]
+        rest_pcs = runner.pcs
 
     # multi-partition levels on real survivor sets
-    best_prev = aux["best0"]
     cur = scb2
-    for pc in runner.pcs:
+    for pc in rest_pcs:
         fin = np.asarray(cur["finished"])
         idx = np.flatnonzero(~fin).astype(np.int32)
         prof["survivors"][f"entering_pc{pc}"] = int(len(idx))
@@ -164,14 +186,29 @@ def main():
             lambda: run_pc(), args.reps)
         cur, best_prev = run_pc()
 
-    # finalize + pack + fetch
+    # finalize + pack, split from the result fetch: pack-only syncs via a
+    # 16-byte fetch of row 0 (block_until_ready alone can return early on
+    # tunneled backends), so `fetch` isolates the (N,16) host transfer.
+    def run_fin_pack():
+        pcb = cm._c_finalize_jit(ctx._dtables_key, ctx._enc_key, cfgs,
+                                 cur, aux)
+        np.asarray(pcb[:1])
     def run_fin():
         np.asarray(cm._c_finalize_jit(ctx._dtables_key, ctx._enc_key, cfgs,
                                       cur, aux))
+    prof["phases_ms"]["finalize_pack"] = 1e3 * timed(run_fin_pack,
+                                                     args.reps)
     prof["phases_ms"]["finalize_pack_fetch"] = 1e3 * timed(run_fin,
                                                            args.reps)
 
-    total_ms = sum(prof["phases_ms"].values())
+    # Host->device input upload (rides the critical path at depth 1).
+    def run_upload():
+        t = jax.device_put(blocks)
+        np.asarray(t[0, 0])
+    prof["upload_ms"] = 1e3 * timed(run_upload, args.reps)
+
+    total_ms = sum(v for k, v in prof["phases_ms"].items()
+                   if k != "finalize_pack")
     prof["phases_ms"]["TOTAL_serial"] = total_ms
     texels = N * bx * by
     prof["serial_mts"] = round(texels / total_ms / 1e3, 3)
