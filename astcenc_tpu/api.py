@@ -50,6 +50,38 @@ class Context:
         return (self.config.block_x, self.config.block_y, self.config.block_z)
 
 
+# Derived-table cache keyed by BSD identity. build_bsd is functools.cached
+# by its config parameters, so two contexts with the same (block size,
+# quality-derived cutoffs) share one BSD object — and through this cache
+# they then share the SAME DecodeTables / TablesKey / EncKey objects.
+# Those keys are static jit arguments hashed by identity, so sharing them
+# is what makes the jit cache hit across context_alloc calls: without it,
+# every new context recompiled the entire pipeline per image (the
+# "per-image recompile chasm"). Reference analog: parent/child contexts
+# sharing one read-only block_size_descriptor (astcenc_entry.cpp:784-807).
+_derived_cache: dict = {}
+
+
+def _derived_tables(bsd):
+    ent = _derived_cache.get(id(bsd))
+    if ent is None:
+        dt = decode_tables.build_decode_tables(bsd)
+        ent = {"dt": dt, "dtables_key": decompress.TablesKey(dt)}
+        _derived_cache[id(bsd)] = ent
+    return ent
+
+
+def _enc_key(bsd):
+    """Shared encoder-tables key for a (cached) BSD; built lazily because
+    decompress-only contexts never need the encoder tables."""
+    ent = _derived_cache[id(bsd)]
+    if "enc_key" not in ent:
+        from .codec import compress as compress_mod
+        from .codec.trial import build_encoder_tables
+        ent["enc_key"] = compress_mod.EncKey(build_encoder_tables(bsd), bsd)
+    return ent["enc_key"]
+
+
 def context_alloc(config: ASTCConfig, thread_count: int = 0) -> Context:
     """Build a context (reference: astcenc_context_alloc, astcenc_entry.cpp:726)."""
     del thread_count  # batched execution replaces the caller thread pool
@@ -76,9 +108,9 @@ def context_alloc(config: ASTCConfig, thread_count: int = 0) -> Context:
                     can_omit_modes=can_omit,
                     mode_cutoff=config.tune_block_mode_limit / 100.0,
                     partition_count_cutoff=config.tune_partition_count_limit)
-    dt = decode_tables.build_decode_tables(bsd)
-    return Context(config=config, bsd=bsd, dtables=dt,
-                   _dtables_key=decompress.TablesKey(dt))
+    ent = _derived_tables(bsd)
+    return Context(config=config, bsd=bsd, dtables=ent["dt"],
+                   _dtables_key=ent["dtables_key"])
 
 
 def decompress_blocks(ctx: Context, blocks: np.ndarray,

@@ -678,14 +678,21 @@ def compress_symbolic_batch_mono_u8(dtables_key, enc_key, cfgs, texels_u8):
 # fully batched pipeline forfeits that — masked-off lanes still compute.
 # This driver restores the early-exit economics TPU-style:
 #
-#   stage1 (full batch)  ->  fetch 2 bytes/block of masks  ->  gather the
-#   unfinished lanes into fixed-size slices  ->  stage2a (2-plane) and
-#   stage2b (multi-partition) run only on survivors  ->  scatter back on
-#   device  ->  finalize + physical pack (full batch).
+#   stage1 (full batch)  ->  lax.while_loop: gather the unfinished lanes
+#   into ONE static-size slice per iteration  ->  stage2a (2-plane) and
+#   stage2b (multi-partition) run only on survivors  ->  scatter back  ->
+#   finalize + physical pack (full batch).
 #
-# Slices are a fixed static size (one compile each), dispatched
-# ceil(n_unfinished / S) times, so compilation count stays O(1) while
-# compute scales with the actual survivor count.
+# The survivor-count-dependent trip count lives in the while_loop condition
+# ON DEVICE, so the host dispatches every phase asynchronously back-to-back
+# and blocks exactly once per chunk (the result fetch). This matters
+# doubly: compute scales with the actual survivor count (early-exit
+# economics), and per-image latency is compute + ONE tunnel round-trip —
+# the earlier host-driven slicing paid three blocking mask fetches per
+# image (~26 ms RTT each on the axon tunnel), which capped the public API
+# at ~0.4 MT/s per 256x256 image regardless of device speed. There is also
+# exactly one slice width per chunk shape, so the compile-cache footprint
+# is one program per (phase, chunk shape) — no data-dependent ladder.
 # ---------------------------------------------------------------------------
 
 
@@ -698,11 +705,7 @@ def _promote_texels(texels):
 @functools.partial(jax.jit, static_argnums=(0, 1, 2))
 def _c_stage1_jit(dtables_key, enc_key, cfgs, texels_any):
     texels = _promote_texels(texels_any)
-    scb, aux = _stage1_1plane(dtables_key, enc_key, cfgs, texels)
-    # Single small host fetch: bit0 = finished, bit1 = skip 2-plane.
-    aux["hostmask"] = (scb["finished"].astype(jnp.uint8)
-                       | (aux["skip2p"].astype(jnp.uint8) << 1))
-    return scb, aux
+    return _stage1_1plane(dtables_key, enc_key, cfgs, texels)
 
 
 def _gather_lanes(tree, idx):
@@ -725,90 +728,119 @@ def _c_gather_common(texels_any, scb, quant_limit, idx):
     return tex_c, scb_c, ql_c
 
 
+def _loop_slice(N: int) -> int:
+    """The single static slice width for the device-side survivor loop.
+
+    One width per chunk shape keeps the compile cache at one program per
+    phase; N//8 bounds last-slice padding waste to ~12% of the chunk while
+    keeping the while_loop trip count <= 8 per phase.
+    """
+    env = os.environ.get("ASTC_COMPACT_SLICE")
+    if env:
+        return min(N, int(env))
+    return min(N, max(256, N // 8))
+
+
+def _survivor_index(mask):
+    """(idx_all, total): survivor lane indices packed to the front, padded
+    with the out-of-bounds sentinel N (gather clamps, scatter drops)."""
+    N = mask.shape[0]
+    idx_all = jnp.where(mask, size=N, fill_value=N)[0].astype(jnp.int32)
+    return idx_all, jnp.sum(mask.astype(jnp.int32))
+
+
+def _phase_while(scb, best_acc, mask, stage_fn, S):
+    """Run stage_fn over ceil(survivors/S) static-width slices inside a
+    device-side while_loop: the data-dependent trip count never touches the
+    host, so phases chain with zero blocking round-trips."""
+    idx_all, total = _survivor_index(mask)
+
+    def cond(carry):
+        return carry[0] * S < total
+
+    def body(carry):
+        k, scb, best_acc = carry
+        idx = jax.lax.dynamic_slice(idx_all, (k * S,), (S,))
+        scb, best_acc = stage_fn(scb, best_acc, idx)
+        return k + jnp.int32(1), scb, best_acc
+
+    _, scb, best_acc = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), scb, best_acc))
+    return scb, best_acc
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 6), donate_argnums=(3,))
+def _c_tail_loop_jit(enc_key, cfgs, texels_any, scb, quant_limit, best0, pc):
+    """Fused post-stage1 tail: 2-plane trials + the FIRST multi-partition
+    level over the unfinished lanes, slice-looped on device.
+
+    Lanes the correlation gate skips are masked inside _stage2a_2plane, so
+    fusing is bit-identical to split dispatches. scb is DONATED: the
+    (N,)-wide state aliases in place through the loop carry."""
+    N = texels_any.shape[0]
+    S = _loop_slice(N)
+
+    def stage(scb, best_acc, idx):
+        tex_c, scb_c, ql_c = _c_gather_common(texels_any, scb, quant_limit,
+                                              idx)
+        b0_c = jnp.take(best0, idx, axis=0, mode="clip")
+        scb_c = _stage2a_2plane(enc_key, cfgs, tex_c, scb_c, ql_c, b0_c)
+        scb_c, best_c = _stage2b_one_pc(enc_key, cfgs, tex_c, scb_c, ql_c,
+                                        b0_c, pc)
+        return (_scatter_lanes(scb, idx, scb_c),
+                best_acc.at[idx].set(best_c, mode="drop"))
+
+    best_acc = jnp.full((N,), jnp.float32(ERROR_CALC_DEFAULT))
+    return _phase_while(scb, best_acc, ~scb["finished"], stage, S)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(3,))
-def _c_stage2a_jit(enc_key, cfgs, texels_any, scb, quant_limit, best0, idx):
-    """scb is DONATED: the (N,)-wide state aliases in place, so the
-    scatter-back is a true in-place update instead of a full copy of every
-    state array per dispatch (profiled at ~1000 copy ops/chunk without)."""
-    tex_c, scb_c, ql_c = _c_gather_common(texels_any, scb, quant_limit, idx)
-    b0_c = jnp.take(best0, idx, axis=0, mode="clip")
-    scb_c = _stage2a_2plane(enc_key, cfgs, tex_c, scb_c, ql_c, b0_c)
-    return _scatter_lanes(scb, idx, scb_c)
+def _c_2a_loop_jit(enc_key, cfgs, texels_any, scb, quant_limit, best0,
+                   skip2p):
+    """2-plane-only phase (configs with no multi-partition levels)."""
+    N = texels_any.shape[0]
+    S = _loop_slice(N)
+
+    def stage(scb, best_acc, idx):
+        tex_c, scb_c, ql_c = _c_gather_common(texels_any, scb, quant_limit,
+                                              idx)
+        b0_c = jnp.take(best0, idx, axis=0, mode="clip")
+        scb_c = _stage2a_2plane(enc_key, cfgs, tex_c, scb_c, ql_c, b0_c)
+        return _scatter_lanes(scb, idx, scb_c), best_acc
+
+    best_acc = jnp.zeros((0,), jnp.float32)
+    mask = ~scb["finished"] & ~skip2p
+    scb, _ = _phase_while(scb, best_acc, mask, stage, S)
+    return scb
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 8),
-                   donate_argnums=(3, 6))
-def _c_stage2b_jit(enc_key, cfgs, texels_any, scb, quant_limit, best_prev,
-                   best_acc, idx, pc):
-    """One multi-partition level on the compacted lanes. best_prev is the
-    previous level's (N,) best; this level's per-lane best scatters into
-    best_acc (slices cover disjoint lanes). scb and best_acc are DONATED
-    (in-place update, see _c_stage2a_jit)."""
-    tex_c, scb_c, ql_c = _c_gather_common(texels_any, scb, quant_limit, idx)
-    bp_c = jnp.take(best_prev, idx, axis=0, mode="clip")
-    scb_c, best_c = _stage2b_one_pc(enc_key, cfgs, tex_c, scb_c, ql_c,
-                                    bp_c, pc)
-    return (_scatter_lanes(scb, idx, scb_c),
-            best_acc.at[idx].set(best_c, mode="drop"))
+@functools.partial(jax.jit, static_argnums=(0, 1, 6),
+                   donate_argnums=(3, 5))
+def _c_pc_loop_jit(enc_key, cfgs, texels_any, scb, quant_limit, best_prev,
+                   pc):
+    """One multi-partition level over the unfinished lanes, slice-looped on
+    device. best_prev is the previous level's (N,) best error (chained
+    early-out baseline); returns (scb, best_this_level). scb and best_prev
+    are DONATED."""
+    N = texels_any.shape[0]
+    S = _loop_slice(N)
 
+    def stage(scb, best_acc, idx):
+        tex_c, scb_c, ql_c = _c_gather_common(texels_any, scb, quant_limit,
+                                              idx)
+        bp_c = jnp.take(best_prev, idx, axis=0, mode="clip")
+        scb_c, best_c = _stage2b_one_pc(enc_key, cfgs, tex_c, scb_c, ql_c,
+                                        bp_c, pc)
+        return (_scatter_lanes(scb, idx, scb_c),
+                best_acc.at[idx].set(best_c, mode="drop"))
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 8),
-                   donate_argnums=(3, 6))
-def _c_tail_a_jit(enc_key, cfgs, texels_any, scb, quant_limit, best0,
-                  best_acc, idx, pc):
-    """Fused post-stage1 tail: the 2-plane trials and the FIRST
-    multi-partition level run in one dispatch on the unfinished lanes.
-
-    The split formulation pays two dispatches plus two full state
-    gather/scatter passes over nearly identical lane sets ("2-plane
-    eligible" only prunes ~2% more lanes than "unfinished" on natural
-    images); each dispatch carries a fixed tunnel/launch cost comparable
-    to its compute, so halving the tail dispatch count nearly halves its
-    cost. Lanes the correlation gate skips are masked inside
-    _stage2a_2plane, so results are bit-identical to the split path.
-    scb and best_acc are donated (in-place scatter-back)."""
-    tex_c, scb_c, ql_c = _c_gather_common(texels_any, scb, quant_limit, idx)
-    b0_c = jnp.take(best0, idx, axis=0, mode="clip")
-    scb_c = _stage2a_2plane(enc_key, cfgs, tex_c, scb_c, ql_c, b0_c)
-    scb_c, best_c = _stage2b_one_pc(enc_key, cfgs, tex_c, scb_c, ql_c,
-                                    b0_c, pc)
-    return (_scatter_lanes(scb, idx, scb_c),
-            best_acc.at[idx].set(best_c, mode="drop"))
+    best_acc = jnp.full((N,), jnp.float32(ERROR_CALC_DEFAULT))
+    return _phase_while(scb, best_acc, ~scb["finished"], stage, S)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2))
 def _c_finalize_jit(dtables_key, enc_key, cfgs, scb, aux):
     return _finalize_pack(dtables_key, enc_key, cfgs, scb, aux)
-
-
-def _slice_size(N: int, count: int | None = None) -> int:
-    """Static slice width for a compacted dispatch.
-
-    Power-of-two sized to the actual survivor count (padding waste < 2x)
-    and capped at N//4 so the compile-cache set stays small: slice widths
-    form the bounded ladder {256, 512, ..., N//4}.
-    """
-    env = os.environ.get("ASTC_COMPACT_SLICE")
-    if env:
-        return int(env)
-    cap = max(512, N // 4)
-    if count is None:
-        return cap
-    want = max(256, 1 << (max(count, 1) - 1).bit_length())
-    return min(cap, want)
-
-
-def _slice_pad(idx_np, S, N):
-    """Static-size slices of a lane-index list, padded with the
-    out-of-bounds sentinel N (gather clamps, scatter drops)."""
-    out = []
-    for lo in range(0, len(idx_np), S):
-        part = idx_np[lo:lo + S]
-        if len(part) < S:
-            part = np.concatenate([part, np.full(S - len(part), N,
-                                                 np.int32)])
-        out.append(part)
-    return out
 
 
 def _host_async(x):
@@ -838,30 +870,24 @@ def _traced(label, fn):
 class CompactState:
     """In-flight per-chunk state for the compaction pipeline."""
 
-    __slots__ = ("tex_dev", "scb", "aux", "pcb", "phase", "best_prev",
-                 "pending_mask")
+    __slots__ = ("tex_dev", "pcb")
 
-    def __init__(self, tex_dev, scb, aux):
+    def __init__(self, tex_dev, pcb):
         self.tex_dev = tex_dev
-        self.scb = scb
-        self.aux = aux
-        self.pcb = None
-        self.phase = 0
-        self.best_prev = None
-        self.pending_mask = None
+        self.pcb = pcb
 
 
 class CompactRunner:
-    """Phased compacted dispatch for one (context, config) pair.
+    """Compacted dispatch for one (context, config) pair.
 
-    Per chunk: stage1 -> [mask fetch] -> 2-plane + pc=2 slices ->
-    [mask fetch] -> pc=3 slices -> ... -> finalize -> result fetch.
-    Each mask fetch is 1 byte/block and is started asynchronously by the
-    previous phase, so a depth-2+ pipeline across chunks hides the
-    round-trips entirely.
+    start(texels) enqueues the ENTIRE schedule asynchronously — stage1,
+    the fused 2-plane + multi-partition survivor loops (device-side trip
+    counts, see _phase_while), and the finalize pack — and returns
+    immediately; finish(state) performs the single blocking result fetch.
+    Per-chunk latency is therefore device compute + one tunnel round-trip.
 
-    step(state) advances one phase; done when it returns False.
-    run(texels) executes one chunk serially (tests, small images).
+    run(texels) executes one chunk serially (tests, small images);
+    pipeline(chunks) keeps several chunks' device queues full.
     """
 
     def __init__(self, dtables_key, enc_key, cfgs: _CfgStatic):
@@ -870,12 +896,9 @@ class CompactRunner:
         self.cfgs = cfgs
         self.has_2plane = enc_key.tables.m2_quant.shape[0] > 0
         self.pcs = _multipart_pcs(enc_key, cfgs)
-        # Phase layout: 0 = post-stage1 (2a + first pc), then one phase per
-        # remaining pc, then finalize-fetch.
-        self.n_pc_phases = max(1, len(self.pcs))
-        # Fused tail (see _c_tail_a_jit) needs both a 2-plane family and a
-        # first partition level to fuse; ASTC_FUSE_TAIL=0 forces the split
-        # dispatches (profiling / A-B comparison).
+        # Fused tail needs both a 2-plane family and a first partition
+        # level to fuse; ASTC_FUSE_TAIL=0 forces split dispatches
+        # (profiling / A-B comparison).
         self.fuse_tail = (self.has_2plane and bool(self.pcs)
                           and os.environ.get("ASTC_FUSE_TAIL", "1") != "0")
 
@@ -884,156 +907,52 @@ class CompactRunner:
                    else _traced("upload", lambda: jax.device_put(texels)))
         scb, aux = _traced("dispatch_stage1", lambda: _c_stage1_jit(
             self.dtables_key, self.enc_key, self.cfgs, tex_dev))
-        st = CompactState(tex_dev, scb, aux)
-        st.pending_mask = _host_async(aux["hostmask"])
-        st.best_prev = aux["best0"]
-        return st
-
-    def _dispatch_pc(self, state, idx_np, pc):
-        N = state.tex_dev.shape[0]
-        best_acc = jnp.full((N,), jnp.float32(ERROR_CALC_DEFAULT))
-        for part in _slice_pad(idx_np, _slice_size(N, len(idx_np)), N):
-            state.scb, best_acc = _traced(
-                "dispatch_pc%d" % pc,
-                lambda p=part, a=best_acc: _c_stage2b_jit(
-                    self.enc_key, self.cfgs, state.tex_dev, state.scb,
-                    state.aux["quant_limit"], state.best_prev, a,
-                    jnp.asarray(p), pc))
-        state.best_prev = best_acc
-
-    def _finalize(self, state):
-        state.pcb = _traced("dispatch_finalize", lambda: _host_async(
+        best_prev = aux["best0"]
+        rest = list(self.pcs)
+        if self.fuse_tail:
+            scb, best_prev = _traced("dispatch_tail", lambda: (
+                _c_tail_loop_jit(self.enc_key, self.cfgs, tex_dev, scb,
+                                 aux["quant_limit"], aux["best0"],
+                                 rest.pop(0))))
+        elif self.has_2plane:
+            scb = _traced("dispatch_2a", lambda: _c_2a_loop_jit(
+                self.enc_key, self.cfgs, tex_dev, scb,
+                aux["quant_limit"], aux["best0"], aux["skip2p"]))
+        for pc in rest:
+            scb, best_prev = _traced("dispatch_pc%d" % pc, lambda
+                                     s=scb, b=best_prev, p=pc: (
+                _c_pc_loop_jit(self.enc_key, self.cfgs, tex_dev, s,
+                               aux["quant_limit"], b, p)))
+        pcb = _traced("dispatch_finalize", lambda: _host_async(
             _c_finalize_jit(self.dtables_key, self.enc_key, self.cfgs,
-                            state.scb, state.aux)))
+                            scb, aux)))
+        return CompactState(tex_dev, pcb)
 
     def step(self, state: CompactState) -> bool:
-        """Advance one phase. Returns False once the result is ready to
-        fetch with finish()."""
-        ph = state.phase
-        state.phase += 1
-        N = state.tex_dev.shape[0]
-
-        if ph == 0:
-            mask = _traced("fetch_mask0",
-                           lambda: np.asarray(state.pending_mask))
-            unfin = (mask & 1) == 0
-            idx_b = np.flatnonzero(unfin).astype(np.int32)
-            if self.fuse_tail:
-                # Fused 2-plane + first-pc dispatch on the unfinished set.
-                best_acc = jnp.full((N,), jnp.float32(ERROR_CALC_DEFAULT))
-                for part in _slice_pad(idx_b, _slice_size(N, len(idx_b)),
-                                       N):
-                    state.scb, best_acc = _traced(
-                        "dispatch_tail_a",
-                        lambda p=part, a=best_acc: _c_tail_a_jit(
-                            self.enc_key, self.cfgs, state.tex_dev,
-                            state.scb, state.aux["quant_limit"],
-                            state.aux["best0"], a, jnp.asarray(p),
-                            self.pcs[0]))
-                state.best_prev = best_acc
-            else:
-                if self.has_2plane:
-                    idx_a = np.flatnonzero(
-                        unfin & ((mask & 2) == 0)).astype(np.int32)
-                    for part in _slice_pad(idx_a,
-                                           _slice_size(N, len(idx_a)), N):
-                        state.scb = _traced(
-                            "dispatch_2a",
-                            lambda p=part: _c_stage2a_jit(
-                                self.enc_key, self.cfgs, state.tex_dev,
-                                state.scb, state.aux["quant_limit"],
-                                state.aux["best0"], jnp.asarray(p)))
-                if self.pcs:
-                    self._dispatch_pc(state, idx_b, self.pcs[0])
-            if len(self.pcs) > 1:
-                state.pending_mask = _host_async(state.scb["finished"])
-            else:
-                self._finalize(state)
-            return True
-
-        if ph < self.n_pc_phases:
-            fin = _traced("fetch_mask%d" % ph,
-                          lambda: np.asarray(state.pending_mask))
-            idx = np.flatnonzero(~fin).astype(np.int32)
-            if len(idx):
-                self._dispatch_pc(state, idx, self.pcs[ph])
-            if ph + 1 < self.n_pc_phases:
-                state.pending_mask = _host_async(state.scb["finished"])
-            else:
-                self._finalize(state)
-            return True
-
+        """Compatibility shim: the schedule is fully enqueued by start()."""
         return False
 
     def prewarm(self, texels) -> None:
-        """Compile every (stage, slice-width) program the compacted
-        schedule can dispatch for this chunk shape, so steady-state runs
-        (and honest benchmarks) never hit a mid-stream XLA compile. The
-        slice ladder is data-dependent (survivor-count sized); one pass
-        over the real data only compiles the widths it happens to see."""
-        state = self.start(texels)
-        N = state.tex_dev.shape[0]
-        np.asarray(state.pending_mask)
-        sizes = set()
-        s = 256
-        while s < _slice_size(N):
-            sizes.add(s)
-            s *= 2
-        sizes.add(_slice_size(N))
-        for s in sorted(sizes):
-            idx = np.arange(min(s, N), dtype=np.int32)
-            part = _slice_pad(idx, s, N)[0]
-            acc = jnp.full((N,), jnp.float32(ERROR_CALC_DEFAULT))
-            if self.fuse_tail:
-                state.scb, acc = _c_tail_a_jit(
-                    self.enc_key, self.cfgs, state.tex_dev, state.scb,
-                    state.aux["quant_limit"], state.aux["best0"], acc,
-                    jnp.asarray(part), self.pcs[0])
-            elif self.has_2plane:
-                state.scb = _c_stage2a_jit(
-                    self.enc_key, self.cfgs, state.tex_dev, state.scb,
-                    state.aux["quant_limit"], state.aux["best0"],
-                    jnp.asarray(part))
-            for pc in self.pcs:
-                if self.fuse_tail and pc == self.pcs[0]:
-                    continue
-                state.scb, acc = _c_stage2b_jit(
-                    self.enc_key, self.cfgs, state.tex_dev, state.scb,
-                    state.aux["quant_limit"], state.best_prev, acc,
-                    jnp.asarray(part), pc)
-        self._finalize(state)
-        self.finish(state)
+        """Compile every program of the compacted schedule for this chunk
+        shape (there is exactly one slice width per shape, so one start()
+        covers the full set)."""
+        self.finish(self.start(texels))
 
     def finish(self, state: CompactState) -> np.ndarray:
         return _traced("fetch_result", lambda: np.asarray(state.pcb))
 
     def run(self, texels) -> np.ndarray:
-        s = self.start(texels)
-        while self.step(s):
-            pass
-        return self.finish(s)
+        return self.finish(self.start(texels))
 
     def pipeline(self, chunks, depth: int = 2):
-        """Round-robin the phase machine over an iterable of chunks,
-        keeping up to `depth` chunks in flight; yields results in order."""
+        """Keep up to `depth` chunks' schedules enqueued ahead of the
+        blocking result fetches; yields results in order."""
         inflight = []
         for ch in chunks:
             inflight.append(self.start(ch))
             if len(inflight) > depth:
-                s = inflight[0]
-                while self.step(s):
-                    pass
                 yield self.finish(inflight.pop(0))
-            else:
-                # Advance the oldest chunk one phase per submission so its
-                # mask fetches overlap newer chunks' stage1 compute.
-                for s in inflight:
-                    if s.phase < self.n_pc_phases:
-                        self.step(s)
-                        break
         for s in inflight:
-            while self.step(s):
-                pass
             yield self.finish(s)
 
 
@@ -1082,11 +1001,12 @@ def compress_image(ctx, image, swizzle=(0, 1, 2, 3),
     Reference flow: astcenc_compress_image (astcenc_entry.cpp:1113) +
     load_image_block (astcenc_image.cpp:162-343).
     """
-    from .decode_tables import build_decode_tables
-    from .trial import build_encoder_tables
+    from .. import api as api_mod
 
     if not hasattr(ctx, "_enc_key"):
-        ctx._enc_key = EncKey(build_encoder_tables(ctx.bsd), ctx.bsd)
+        # Shared per-BSD encoder key: contexts with the same config reuse
+        # one EncKey object, so the jit cache hits across contexts.
+        ctx._enc_key = api_mod._enc_key(ctx.bsd)
     cfgs = _CfgStatic(ctx.config)
 
     bx, by, bz = ctx.block_dims

@@ -52,7 +52,6 @@ def main():
     from astcenc_tpu import api
     from astcenc_tpu.config import Profile, Quality
     from astcenc_tpu.codec import compress as compress_mod
-    from astcenc_tpu.codec.trial import build_encoder_tables
 
     block = (6, 6)
     quality = Quality.MEDIUM
@@ -73,7 +72,7 @@ def main():
 
     cfg = api.config_init(Profile.LDR, block[0], block[1], 1, quality, 0)
     ctx = api.context_alloc(cfg)
-    ctx._enc_key = compress_mod.EncKey(build_encoder_tables(ctx.bsd), ctx.bsd)
+    ctx._enc_key = api._enc_key(ctx.bsd)
     cfgs = compress_mod._CfgStatic(ctx.config)
 
     # Pre-blocked input so we time the pure codec step. Blocks stay uint8

@@ -17,7 +17,6 @@ import jax
 
 from astcenc_tpu import api
 from astcenc_tpu.codec import compress as cm
-from astcenc_tpu.codec.trial import build_encoder_tables
 from astcenc_tpu.config import Profile, Quality
 
 
@@ -49,7 +48,7 @@ def _mixed_blocks(n, t, rng):
 def test_compact_equals_mono_4x4_fastest():
     cfg = api.config_init(Profile.LDR, 4, 4, 1, Quality.FASTEST, 0)
     ctx = api.context_alloc(cfg)
-    ctx._enc_key = cm.EncKey(build_encoder_tables(ctx.bsd), ctx.bsd)
+    ctx._enc_key = api._enc_key(ctx.bsd)
     cfgs = cm._CfgStatic(ctx.config)
 
     tex = _mixed_blocks(512, 16, np.random.RandomState(3))

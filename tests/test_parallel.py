@@ -26,13 +26,12 @@ def test_sharded_matches_single_device():
     astc_test_functional.py:1357)."""
     from astcenc_tpu import api
     from astcenc_tpu.codec import compress as compress_mod
-    from astcenc_tpu.codec.trial import build_encoder_tables
     from astcenc_tpu.config import Profile, Quality
     from astcenc_tpu.parallel import sharding
 
     cfg = api.config_init(Profile.LDR, 4, 4, 1, Quality.FASTEST, 0)
     ctx = api.context_alloc(cfg)
-    ctx._enc_key = compress_mod.EncKey(build_encoder_tables(ctx.bsd), ctx.bsd)
+    ctx._enc_key = api._enc_key(ctx.bsd)
     cfgs = compress_mod._CfgStatic(ctx.config)
 
     rng = np.random.RandomState(11)

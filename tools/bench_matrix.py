@@ -61,14 +61,13 @@ def bench_one(block, quality, size, reps, chunk):
     from astcenc_tpu import api
     from astcenc_tpu.config import Profile, Quality
     from astcenc_tpu.codec import compress as cm
-    from astcenc_tpu.codec.trial import build_encoder_tables
 
     bx, by = (int(v) for v in block.split("x"))
     qual = {"fastest": Quality.FASTEST, "fast": Quality.FAST,
             "medium": Quality.MEDIUM, "thorough": Quality.THOROUGH}[quality]
     cfg = api.config_init(Profile.LDR, bx, by, 1, qual, 0)
     ctx = api.context_alloc(cfg)
-    ctx._enc_key = cm.EncKey(build_encoder_tables(ctx.bsd), ctx.bsd)
+    ctx._enc_key = api._enc_key(ctx.bsd)
     cfgs = cm._CfgStatic(ctx.config)
 
     tx = load_blocks(size, bx, by)

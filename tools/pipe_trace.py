@@ -50,7 +50,7 @@ def main():
 
     cfg = api.config_init(Profile.LDR, 6, 6, 1, Quality.MEDIUM, 0)
     ctx = api.context_alloc(cfg)
-    ctx._enc_key = cm.EncKey(build_encoder_tables(ctx.bsd), ctx.bsd)
+    ctx._enc_key = api._enc_key(ctx.bsd)
     cfgs = cm._CfgStatic(ctx.config)
     runner = cm.CompactRunner(ctx._dtables_key, ctx._enc_key, cfgs)
 

@@ -80,7 +80,7 @@ def main():
                 args.quality]
     cfg = api.config_init(Profile.LDR, bx, by, 1, qual, 0)
     ctx = api.context_alloc(cfg)
-    ctx._enc_key = cm.EncKey(build_encoder_tables(ctx.bsd), ctx.bsd)
+    ctx._enc_key = api._enc_key(ctx.bsd)
     cfgs = cm._CfgStatic(ctx.config)
     runner = cm.CompactRunner(ctx._dtables_key, ctx._enc_key, cfgs)
 
@@ -98,6 +98,8 @@ def main():
           flush=True)
 
     # ---- Phase-by-phase steady state -----------------------------------
+    # Each phase is now ONE dispatch (device-side while_loop over survivor
+    # slices, see codec.compress._phase_while); timing = dispatch + sync.
     def sync(tree):
         jax.block_until_ready(tree)
 
@@ -105,56 +107,43 @@ def main():
     def run_stage1():
         scb, aux = cm._c_stage1_jit(ctx._dtables_key, ctx._enc_key, cfgs,
                                     tex)
-        np.asarray(aux["hostmask"])
+        sync(scb["finished"])
         return scb, aux
     prof["phases_ms"]["stage1_1plane"] = 1e3 * timed(
         lambda: run_stage1(), args.reps)
     scb, aux = run_stage1()
-    mask = np.asarray(aux["hostmask"])
-    unfin = (mask & 1) == 0
-    idx_a = np.flatnonzero(unfin & ((mask & 2) == 0)).astype(np.int32)
-    idx_b = np.flatnonzero(unfin).astype(np.int32)
+    unfin = ~np.asarray(scb["finished"])
+    skip2p = np.asarray(aux["skip2p"])
     prof["survivors"]["after_stage1"] = int(unfin.sum())
-    prof["survivors"]["2plane_eligible"] = int(len(idx_a))
+    prof["survivors"]["2plane_eligible"] = int((unfin & ~skip2p).sum())
 
-    prof["slice_size"] = cm._slice_size(N)
+    prof["slice_size"] = cm._loop_slice(N)
 
     def clone(tree):
-        # Stage jits donate scb: give every timed rep its own device copy
+        # Phase jits donate scb: give every timed rep its own device copy
         # (cheap async device-side copies, outside the dominant costs).
         import jax.numpy as _jnp
         return {k: _jnp.copy(v) for k, v in tree.items()}
 
-    # Post-stage1 tail on real survivor slices. Production (fuse_tail)
-    # runs 2-plane + the first partition level in ONE dispatch
-    # (_c_tail_a_jit); the split formulation stays timeable with
-    # ASTC_FUSE_TAIL=0.
     if runner.fuse_tail:
         def run_tail():
-            s = clone(scb)
-            acc = jnp.full((N,), jnp.float32(cm.ERROR_CALC_DEFAULT))
-            for part in cm._slice_pad(idx_b,
-                                      cm._slice_size(N, len(idx_b)), N):
-                s, acc = cm._c_tail_a_jit(
-                    ctx._enc_key, cfgs, tex, s, aux["quant_limit"],
-                    aux["best0"], acc, jnp.asarray(part), runner.pcs[0])
-            sync(s)
-            return s, acc
+            s, bp = cm._c_tail_loop_jit(
+                ctx._enc_key, cfgs, tex, clone(scb), aux["quant_limit"],
+                aux["best0"], runner.pcs[0])
+            sync(s["finished"])
+            return s, bp
         prof["phases_ms"]["tail_2plane_pc%d" % runner.pcs[0]] = 1e3 * timed(
             lambda: run_tail(), args.reps)
         scb2, best_prev = run_tail()
         rest_pcs = runner.pcs[1:]
     else:
         def run_2a():
-            s = clone(scb)
-            for part in cm._slice_pad(idx_a,
-                                      cm._slice_size(N, len(idx_a)), N):
-                s = cm._c_stage2a_jit(ctx._enc_key, cfgs, tex, s,
-                                      aux["quant_limit"], aux["best0"],
-                                      jnp.asarray(part))
-            sync(s)
+            s = cm._c_2a_loop_jit(ctx._enc_key, cfgs, tex, clone(scb),
+                                  aux["quant_limit"], aux["best0"],
+                                  aux["skip2p"])
+            sync(s["finished"])
             return s
-        if runner.has_2plane and len(idx_a):
+        if runner.has_2plane:
             prof["phases_ms"]["stage2a_2plane"] = 1e3 * timed(run_2a,
                                                               args.reps)
             scb2 = run_2a()
@@ -173,15 +162,11 @@ def main():
             break
         bp = best_prev
 
-        def run_pc(cur=cur, idx=idx, pc=pc, bp=bp):
-            s = clone(cur)
-            acc = jnp.full((N,), jnp.float32(cm.ERROR_CALC_DEFAULT))
-            for part in cm._slice_pad(idx, cm._slice_size(N, len(idx)), N):
-                s, acc = cm._c_stage2b_jit(
-                    ctx._enc_key, cfgs, tex, s, aux["quant_limit"],
-                    bp, acc, jnp.asarray(part), pc)
-            sync(s)
-            return s, acc
+        def run_pc(cur=cur, pc=pc, bp=bp):
+            s, b = cm._c_pc_loop_jit(ctx._enc_key, cfgs, tex, clone(cur),
+                                     aux["quant_limit"], jnp.copy(bp), pc)
+            sync(s["finished"])
+            return s, b
         prof["phases_ms"][f"stage2b_pc{pc}"] = 1e3 * timed(
             lambda: run_pc(), args.reps)
         cur, best_prev = run_pc()

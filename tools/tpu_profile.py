@@ -52,8 +52,7 @@ def main():
 
     cfg = api.config_init(Profile.LDR, bx, by, 1, qual, 0)
     ctx = api.context_alloc(cfg)
-    ctx._enc_key = compress_mod.EncKey(build_encoder_tables(ctx.bsd),
-                                       ctx.bsd)
+    ctx._enc_key = api._enc_key(ctx.bsd)
     cfgs = compress_mod._CfgStatic(ctx.config)
 
     src = "/root/reference/Test/Images/Small/LDR-RGB/ldr-rgb-00.png"
