@@ -732,13 +732,17 @@ def _loop_slice(N: int) -> int:
     """The single static slice width for the device-side survivor loop.
 
     One width per chunk shape keeps the compile cache at one program per
-    phase; N//8 bounds last-slice padding waste to ~12% of the chunk while
-    keeping the while_loop trip count <= 8 per phase.
+    phase. Iterations cost nothing on the host (the trip count lives in
+    the while_loop condition), so the width tradeoff is last-slice padding
+    waste vs per-iteration kernel fixed costs; a 256..8192 sweep on v5e at
+    a 65536-block chunk put the optimum at 512 (3.33 MT/s vs 2.80 at
+    8192 — padding waste dominates because survivor counts per phase are
+    a few percent of the chunk by the later levels).
     """
     env = os.environ.get("ASTC_COMPACT_SLICE")
     if env:
         return min(N, int(env))
-    return min(N, max(256, N // 8))
+    return min(N, 512)
 
 
 def _survivor_index(mask):

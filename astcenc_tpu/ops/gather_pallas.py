@@ -64,6 +64,30 @@ def _use_pallas() -> bool:
         return False
 
 
+def kernel_bt() -> int:
+    """Lane-axis tile width (blocks per grid step) for the refine kernel
+    family. The kernels are dominated by narrow (rows, BT) row operations,
+    so wider tiles amortize per-op issue overhead — but the refine kernels
+    hold 3 (T, W, BT) f32 stencil tensors live, and beyond 128 lanes the
+    working set exceeds the ~16 MB/core VMEM and spills (measured 1.4x
+    slower at 512 on v5e)."""
+    import os
+    return int(os.environ.get("ASTC_BT", "128"))
+
+
+def ms_bt(n: int) -> int:
+    """Lane-axis tile width for the mode-search kernel. Its working set is
+    (T, BT) planes plus per-mode scalar rows — small enough that 512-lane
+    tiles fit VMEM, and the per-mode row arithmetic dominates, so wider
+    tiles run ~1.7x faster than 128 on v5e. Narrowed for small batches so
+    padding never exceeds ~2x the real lane count."""
+    import os
+    bt = int(os.environ.get("ASTC_BT_MS", "512"))
+    while bt > 128 and n <= bt // 2:
+        bt //= 2
+    return bt
+
+
 def _pad_to(x, axis, mult, value=0):
     size = x.shape[axis]
     pad = (-size) % mult

@@ -56,7 +56,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .gather_pallas import _interpret
+from .gather_pallas import _interpret, ms_bt
 
 _BIG = 1e30               # ERROR_CALC_DEFAULT
 _HUGE = 3.4e38
@@ -437,14 +437,15 @@ def _ms_kernel(wei_ref, wes_ref, mcut_ref, maxwq_ref, ce_ref, cf_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnums=(9, 10, 11, 12, 13, 14, 15, 16, 17, 18))
+                   static_argnums=(9, 10, 11, 12, 13, 14, 15, 16, 17, 18,
+                                   19))
 def _ms_call(weiT, wesT, mcutT, maxwqT, ceT, cfT, sfm, dit, dsq,
              modes: tuple, C: int, pc: int, S: int, T: int, W: int,
-             D: int, wcounts: tuple, mprec1: tuple, mprec2: tuple):
+             D: int, wcounts: tuple, mprec1: tuple, mprec2: tuple,
+             BT: int = 128):
     B = weiT.shape[1]
     TSm = 128 if T <= 128 else (T + 7) & ~7
     two = weiT.shape[0] > TSm
-    BT = 128
     kern = functools.partial(_ms_kernel, modes=modes, C=C, pc=pc, S=S,
                              T=T, W=W, D=D, two=two, wcounts=wcounts,
                              mprec1=mprec1, mprec2=mprec2)
@@ -511,7 +512,8 @@ def mode_search(tables: MsTables, wei, wes, mcut, maxwq, comb_err,
     S = comb_err.shape[2]
     two = wei2 is not None
 
-    pad = (-N) % 128
+    BT = ms_bt(N)
+    pad = (-N) % BT
     def padded(x):
         return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1)) \
             if pad else x
@@ -540,7 +542,7 @@ def mode_search(tables: MsTables, wei, wes, mcut, maxwq, comb_err,
     oint, oerr = _ms_call(weiT, wesT, mcutT, maxwqT, ceT, cfT,
                           tables.sfm, tables.dit, tables.dsq,
                           modes, C, pc, S, T, W, D, tables.wcounts,
-                          tables.mprec1, tables.mprec2)
+                          tables.mprec1, tables.mprec2, BT)
     oint = oint[:, :N]
     oerr = oerr[:, :N]
     Wp = (W + 7) & ~7

@@ -45,7 +45,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .gather_pallas import _interpret
+from .gather_pallas import _interpret, kernel_bt
 
 from ..tables import ise
 
@@ -586,7 +586,7 @@ def _trial1_full_call(metaT, fmetaT, texT, si, sf, dmc, pn, lo, hi,
 
 def trial1_refine_full(tables: RefineTables, meta, fmeta, tex,
                        ncolors: int, u8_mask: bool, cw, R: int, pc: int,
-                       profile: int, BT: int = 128, cw_scale=None,
+                       profile: int, BT: int | None = None, cw_scale=None,
                        rgbm_scale: float = 0.0):
     """Run the full R-round 1-plane refinement in one fused kernel.
 
@@ -599,6 +599,8 @@ def trial1_refine_full(tables: RefineTables, meta, fmeta, tex,
     err_post (R, B)) — already alive-masked errors.
     """
     B = meta.shape[0]
+    if BT is None:
+        BT = kernel_bt()
     if cw_scale is not None:
         tex = tex.at[:, asr_row(tables.T)].set(cw_scale.astype(jnp.float32))
     pad = (-B) % BT
@@ -947,7 +949,7 @@ def _trial2_full_call(metaT, fmetaT, texT, si, sf, dmc, pn, lo, hi,
 
 def trial2_refine_full(tables: RefineTables, meta, fmeta, tex,
                        ncolors: int, u8_mask: bool, cw, R: int,
-                       profile: int, BT: int = 128, cw_scale=None,
+                       profile: int, BT: int | None = None, cw_scale=None,
                        rgbm_scale: float = 0.0):
     """Full R-round 2-plane refinement in one fused kernel.
 
@@ -955,6 +957,8 @@ def trial2_refine_full(tables: RefineTables, meta, fmeta, tex,
     err_pre (B,), err_post (R, B)) — errors alive-masked.
     """
     B = meta.shape[0]
+    if BT is None:
+        BT = kernel_bt()
     if cw_scale is not None:
         tex = tex.at[:, asr_row(tables.T)].set(cw_scale.astype(jnp.float32))
     pad = (-B) % BT
@@ -1228,7 +1232,7 @@ def pack_meta_2plane(wg1, wg2, d_idx, wq, alive, p2c, ep0, ep1):
 
 
 def refine_round_2plane(tables: RefineTables, meta, tex, ncolors: int,
-                        u8_mask: bool, cw, BT: int = 128, cw_scale=None,
+                        u8_mask: bool, cw, BT: int | None = None, cw_scale=None,
                         rgbm_scale: float = 0.0):
     """One fused 2-plane refine round (ncolors=0 -> bootstrap infill only).
 
@@ -1236,6 +1240,8 @@ def refine_round_2plane(tables: RefineTables, meta, tex, ncolors: int,
     u1 (B, T) f32, u2 (B, T) f32, err_pre (B,), err_post (B,)).
     """
     B = meta.shape[0]
+    if BT is None:
+        BT = kernel_bt()
     if cw_scale is not None:
         tex = tex.at[:, asr_row(tables.T)].set(cw_scale.astype(jnp.float32))
     pad = (-B) % BT
@@ -1529,7 +1535,7 @@ def pack_tex(texels):
 
 
 def refine_round_1plane(tables: RefineTables, meta, tex, ncolors: int,
-                        u8_mask: bool, cw, BT: int = 128, cw_scale=None,
+                        u8_mask: bool, cw, BT: int | None = None, cw_scale=None,
                         rgbm_scale: float = 0.0):
     """Run one fused refine round.
 
@@ -1540,6 +1546,8 @@ def refine_round_1plane(tables: RefineTables, meta, tex, ncolors: int,
     err_pre (B,), err_post (B,)).
     """
     B = meta.shape[0]
+    if BT is None:
+        BT = kernel_bt()
     if cw_scale is not None:
         tex = tex.at[:, asr_row(tables.T)].set(cw_scale.astype(jnp.float32))
     pad = (-B) % BT

@@ -56,19 +56,21 @@ def main():
     block = (6, 6)
     quality = Quality.MEDIUM
 
-    # Input: a real test image if available, else synthetic texture data
-    src = "/root/reference/Test/Images/Small/LDR-RGB/ldr-rgb-00.png"
-    size = int(os.environ.get("ASTC_BENCH_SIZE", "1024"))
-    if os.path.exists(src):
+    # Input: a native-resolution mosaic of the reference Small corpus (the
+    # honest content mix — upscaling smooths content and flatters the
+    # early-exit economics); synthetic texture data as fallback.
+    src_dir = "/root/reference/Test/Images/Small/LDR-RGB"
+    if os.path.isdir(src_dir):
         from PIL import Image
-        img = Image.open(src).convert("RGBA")
-        img = img.resize((size, size)) if img.size != (size, size) else img
-        data = np.asarray(img)
+        imgs = [np.asarray(Image.open(os.path.join(src_dir, f)).convert(
+            "RGBA")) for f in sorted(os.listdir(src_dir))
+            if f.endswith(".png")]
     else:
         rng = np.random.RandomState(0)
-        base = rng.randint(0, 255, (size // 8, size // 8, 4), np.uint8)
+        base = rng.randint(0, 255, (128, 128, 4), np.uint8)
         data = np.kron(base, np.ones((8, 8, 1), np.uint8))
         data[..., 3] = 255
+        imgs = [data]
 
     cfg = api.config_init(Profile.LDR, block[0], block[1], 1, quality, 0)
     ctx = api.context_alloc(cfg)
@@ -78,7 +80,7 @@ def main():
     # Pre-blocked input so we time the pure codec step. Blocks stay uint8
     # on the host; the mono-u8 entry promotes on device (4x less tunnel
     # transfer per chunk).
-    texels_np = _blockify_u8(data, block)
+    texels_np = np.concatenate([_blockify_u8(d, block) for d in imgs], 0)
 
     chunk = int(os.environ.get("ASTC_CHUNK", "65536"))
     reps = int(os.environ.get("ASTC_BENCH_REPS", "10"))
