@@ -292,6 +292,14 @@ def compress_trial_1plane(st, et: EncoderTables, cfg, profile: int,
     return apply_records_1plane(scb, recs, threshold, pc, partition_index)
 
 
+def _cap_cr(C: int, R: int):
+    """Diagnostic caps on the candidate/refinement depth (perf attribution
+    only — quality gates must run uncapped): ASTC_C_CAP / ASTC_R_CAP."""
+    import os
+    return (min(C, int(os.environ.get("ASTC_C_CAP", "99"))),
+            min(R, int(os.environ.get("ASTC_R_CAP", "99"))))
+
+
 def trial1_records(st, et: EncoderTables, cfg, profile: int,
                    u8_mask: bool, pot, counts, pc: int, only_always: bool,
                    quant_limit, ext_valid):
@@ -407,6 +415,7 @@ def trial1_records(st, et: EncoderTables, cfg, profile: int,
     # would triple the kernel cost for nothing).
     C = max(1, min(cfg.tune_candidate_limit, int(quant_m.shape[0])))
     R = cfg.tune_refinement_limit
+    C, R = _cap_cr(C, R)
     NC = N * C
 
     def rep(x):
@@ -992,6 +1001,7 @@ def trial2_records(st, et: EncoderTables, cfg, profile: int,
 
     C = max(1, min(cfg.tune_candidate_limit, int(M2)))
     R = cfg.tune_refinement_limit
+    C, R = _cap_cr(C, R)
     NC = N * C
 
     pn = jnp.asarray(et.weight_prev_next)

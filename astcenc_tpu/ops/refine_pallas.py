@@ -326,7 +326,8 @@ def _refine_kernel(meta_ref, tex_ref, si_ref, sf_ref, dmc_ref, pn_ref,
          jnp.zeros((6, BT), f32)])
 
 
-def _trial1_full_kernel(meta_ref, fmeta_ref, tex_ref, si_ref, sf_ref,
+def _trial1_full_kernel(meta_ref, fmeta_ref, tex_ref, si_tdw_ref,
+                        sf_tdw_ref, sf_wdt_ref, ssq_wdt_ref, sind_wdt_ref,
                         dmc_ref, pn_ref, lo_ref, hi_ref,
                         oint_ref, of32_ref, *, T: int, W: int, D: int,
                         ncolors: int, u8_mask: bool, cw: tuple, R: int,
@@ -335,6 +336,17 @@ def _trial1_full_kernel(meta_ref, fmeta_ref, tex_ref, si_ref, sf_ref,
     """All R refinement rounds of a 1-plane trial in one kernel: infill ->
     least-squares endpoint refit -> LDR color pack -> decode -> trial
     errors + parity-class realign, with every intermediate in VMEM.
+
+    Every stencil reduction runs on the MXU: sum_w S_d[t,w]*v[w] and
+    sum_t S_d[t,w]*v[t] become matmuls of the static (T, D*W) / (W, D*T)
+    masters against a one-hot (d) expand of the per-block vector — the
+    (T, W, BT) stencil tensors of the earlier formulation (the kernel's
+    VMEM + VPU hot spot) never materialize. Integer-payload contractions
+    (trial-error infill, weight undecimation) are exact: both sides are
+    bf16-representable ints/4-bit fractions with f32 accumulation. The
+    realign SA/SB/SC sums contract f32 error terms at Precision.HIGHEST;
+    their reduction order differs from the VPU formulation but stays in
+    the same tolerance class (see module docstring).
 
     meta rows: [0:W wgrid0 | 64 dec-mode | 65 weight-quant | 66 alive |
     67 cq | 68 cq_mod | 72:76 fmt_req per partition | 256:256+T pot];
@@ -360,11 +372,37 @@ def _trial1_full_kernel(meta_ref, fmeta_ref, tex_ref, si_ref, sf_ref,
 
     oh_d = (jax.lax.broadcasted_iota(jnp.int32, (D, BT), 0)
             == d_row).astype(jnp.bfloat16)
-    srow_i = jnp.dot(si_ref[:], oh_d,
-                     preferred_element_type=f32).reshape(T, W, BT)
-    srow_f = jnp.dot(sf_ref[:], oh_d,
-                     preferred_element_type=f32).reshape(T, W, BT)
-    srow_inc = (srow_i != 0.0).astype(f32)
+    oh_f = oh_d.astype(f32)
+
+    def dot_tdw_i(vec_w):
+        """sum_w int-stencil_d[t,w] * vec[w] -> (T, BT); exact."""
+        x = (oh_d[:, None, :]
+             * vec_w.astype(jnp.bfloat16)[None, :, :]).reshape(D * W, BT)
+        return jnp.dot(si_tdw_ref[:], x, preferred_element_type=f32)
+
+    def dot_tdw_f(vec_w):
+        """sum_w frac-stencil_d[t,w] * vec[w] -> (T, BT); exact."""
+        x = (oh_d[:, None, :]
+             * vec_w.astype(jnp.bfloat16)[None, :, :]).reshape(D * W, BT)
+        return jnp.dot(sf_tdw_ref[:], x, preferred_element_type=f32)
+
+    def dot_wdt(master_ref, vec_t):
+        """sum_t stencil_d[t,w] * vec[t] -> (W, BT) for f32 error terms:
+        two bf16 passes with a hi/lo split of the vector. The master side
+        is bf16-exact (stencil payloads), so each product is exact and the
+        result carries ~2^-16 relative error — realign decisions flip only
+        on ties that are already noise-level (vs 6 passes for
+        Precision.HIGHEST, measured 3x slower end-to-end)."""
+        hi = vec_t.astype(jnp.bfloat16)
+        lo = (vec_t - hi.astype(f32)).astype(jnp.bfloat16)
+        m = master_ref[:]
+
+        def ex(v):
+            return (oh_d[:, None, :] * v[None, :, :]).reshape(D * T, BT)
+
+        return (jnp.dot(m, ex(hi), preferred_element_type=f32)
+                + jnp.dot(m, ex(lo), preferred_element_type=f32))
+
     texp = _texp(tex_ref, T)
     if has_asr:
         cw = _asr_cw(tex_ref, T, cw)
@@ -405,7 +443,7 @@ def _trial1_full_kernel(meta_ref, fmeta_ref, tex_ref, si_ref, sf_ref,
         return out
 
     def trial_err(wgrid_f, ep0t, ep1t):
-        s = jnp.sum(srow_i * wgrid_f[None, :, :], axis=1)
+        s = dot_tdw_i(wgrid_f)
         infill = jnp.floor((8.0 + s) * (1.0 / 16.0))
         colors = []
         for ch in range(4):
@@ -425,9 +463,9 @@ def _trial1_full_kernel(meta_ref, fmeta_ref, tex_ref, si_ref, sf_ref,
         for ch in range(4):
             term = offs[ch] * offs[ch] * cw[ch]
             C_t = term if C_t is None else C_t + term
-        SC = jnp.sum(srow_f * srow_f * C_t[:, None, :], axis=0)
+        SC = dot_wdt(ssq_wdt_ref, C_t)
         downf, upf = pn_lookup(wg)
-        infilled = jnp.sum(srow_f * wg[None, :, :], axis=1)
+        infilled = dot_tdw_f(wg)
         wcur = wg
         adjusted = jnp.zeros((1, BT), f32)
         for k in range(ncolors):
@@ -440,8 +478,8 @@ def _trial1_full_kernel(meta_ref, fmeta_ref, tex_ref, si_ref, sf_ref,
                 tb = diff * offs[ch] * cw[ch]
                 A_t = ta if A_t is None else A_t + ta
                 B_t = tb if B_t is None else B_t + tb
-            SA = jnp.sum(srow_inc * A_t[:, None, :], axis=0)
-            SB = jnp.sum(srow_f * B_t[:, None, :], axis=0)
+            SA = dot_wdt(sind_wdt_ref, A_t)
+            SB = dot_wdt(sf_wdt_ref, B_t)
             d_dn = downf - wcur
             d_up = upf - wcur
             e_dn = SA + 2.0 * d_dn * SB + d_dn * d_dn * SC
@@ -451,8 +489,7 @@ def _trial1_full_kernel(meta_ref, fmeta_ref, tex_ref, si_ref, sf_ref,
             go_dn = (~go_up) & (e_dn < SA) & (wcur > 0.0) & ok
             new_w = jnp.where(go_up, upf, jnp.where(go_dn, downf, wcur))
             delta = new_w - wcur
-            infilled = infilled + jnp.sum(srow_f * delta[None, :, :],
-                                          axis=1)
+            infilled = infilled + dot_tdw_f(delta)
             wcur = new_w
             changed = jnp.max(jnp.where(go_up | go_dn, 1.0, 0.0),
                               axis=0, keepdims=True)
@@ -476,7 +513,7 @@ def _trial1_full_kernel(meta_ref, fmeta_ref, tex_ref, si_ref, sf_ref,
         qidx_G = qidx
 
     for r in range(R):
-        undec = jnp.sum(srow_f * wgrid[None, :, :], axis=1) * (1.0 / 64.0)
+        undec = dot_tdw_f(wgrid) * (1.0 / 64.0)
         ep0_c, ep1_c, rgbs = _recompute_1plane_rows(
             texp, pot, undec, cw, ep0_c, ep1_c, pc)
 
@@ -542,9 +579,10 @@ def _trial1_full_kernel(meta_ref, fmeta_ref, tex_ref, si_ref, sf_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnums=(9, 10, 11, 12, 13, 14, 15, 16, 17, 18,
-                                   19, 20))
-def _trial1_full_call(metaT, fmetaT, texT, si, sf, dmc, pn, lo, hi,
+                   static_argnums=(12, 13, 14, 15, 16, 17, 18, 19, 20, 21,
+                                   22, 23))
+def _trial1_full_call(metaT, fmetaT, texT, si_tdw, sf_tdw, sf_wdt,
+                      ssq_wdt, sind_wdt, dmc, pn, lo, hi,
                       T: int, W: int, D: int, ncolors: int, u8_mask: bool,
                       cw: tuple, R: int, pc: int, profile: int, BT: int,
                       has_asr: bool = False, rgbm_scale: float = 0.0):
@@ -555,6 +593,7 @@ def _trial1_full_call(metaT, fmetaT, texT, si, sf, dmc, pn, lo, hi,
                              rgbm_scale=rgbm_scale)
     const_spec = lambda shape: pl.BlockSpec(
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    consts = (si_tdw, sf_tdw, sf_wdt, ssq_wdt, sind_wdt, dmc, pn, lo, hi)
     return pl.pallas_call(
         kern,
         out_shape=(jax.ShapeDtypeStruct((128 * R, B), jnp.int32),
@@ -567,13 +606,7 @@ def _trial1_full_call(metaT, fmetaT, texT, si, sf, dmc, pn, lo, hi,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((texT.shape[0], BT), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            const_spec(si.shape),
-            const_spec(sf.shape),
-            const_spec(dmc.shape),
-            const_spec(pn.shape),
-            const_spec(lo.shape),
-            const_spec(hi.shape),
-        ],
+        ] + [const_spec(c.shape) for c in consts],
         out_specs=(pl.BlockSpec((128 * R, BT), lambda i: (0, i),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((8, BT), lambda i: (0, i),
@@ -581,7 +614,7 @@ def _trial1_full_call(metaT, fmetaT, texT, si, sf, dmc, pn, lo, hi,
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=32 * 1024 * 1024),
-    )(metaT, fmetaT, texT, si, sf, dmc, pn, lo, hi)
+    )(metaT, fmetaT, texT, *consts)
 
 
 def trial1_refine_full(tables: RefineTables, meta, fmeta, tex,
@@ -609,7 +642,8 @@ def trial1_refine_full(tables: RefineTables, meta, fmeta, tex,
         fmeta = jnp.pad(fmeta, ((0, pad), (0, 0)))
         tex = jnp.pad(tex, ((0, pad), (0, 0)))
     oint, of32 = _trial1_full_call(
-        meta.T, fmeta.T, tex.T, tables.si, tables.sf, tables.dmc,
+        meta.T, fmeta.T, tex.T, tables.si_tdw, tables.sf_tdw,
+        tables.sf_wdt, tables.ssq_wdt, tables.sind_wdt, tables.dmc,
         tables.pn, tables.lo, tables.hi, tables.T, tables.W, tables.D,
         ncolors, u8_mask, tuple(float(c) for c in cw), R, pc, profile, BT,
         cw_scale is not None, float(rgbm_scale))
@@ -633,7 +667,8 @@ def trial1_refine_full(tables: RefineTables, meta, fmeta, tex,
             of32[1:1 + R, :])
 
 
-def _trial2_full_kernel(meta_ref, fmeta_ref, tex_ref, si_ref, sf_ref,
+def _trial2_full_kernel(meta_ref, fmeta_ref, tex_ref, si_tdw_ref,
+                        sf_tdw_ref, sf_wdt_ref, ssq_wdt_ref, sind_wdt_ref,
                         dmc_ref, pn_ref, lo_ref, hi_ref,
                         oint_ref, of32_ref, *, T: int, W: int, D: int,
                         ncolors: int, u8_mask: bool, cw: tuple, R: int,
@@ -662,11 +697,31 @@ def _trial2_full_kernel(meta_ref, fmeta_ref, tex_ref, si_ref, sf_ref,
 
     oh_d = (jax.lax.broadcasted_iota(jnp.int32, (D, BT), 0)
             == d_row).astype(jnp.bfloat16)
-    srow_i = jnp.dot(si_ref[:], oh_d,
-                     preferred_element_type=f32).reshape(T, W, BT)
-    srow_f = jnp.dot(sf_ref[:], oh_d,
-                     preferred_element_type=f32).reshape(T, W, BT)
-    srow_inc = (srow_i != 0.0).astype(f32)
+    oh_f = oh_d.astype(f32)
+
+    # MXU stencil contractions; see _trial1_full_kernel for the scheme
+    # and exactness argument.
+    def dot_tdw_i(vec_w):
+        x = (oh_d[:, None, :]
+             * vec_w.astype(jnp.bfloat16)[None, :, :]).reshape(D * W, BT)
+        return jnp.dot(si_tdw_ref[:], x, preferred_element_type=f32)
+
+    def dot_tdw_f(vec_w):
+        x = (oh_d[:, None, :]
+             * vec_w.astype(jnp.bfloat16)[None, :, :]).reshape(D * W, BT)
+        return jnp.dot(sf_tdw_ref[:], x, preferred_element_type=f32)
+
+    def dot_wdt(master_ref, vec_t):
+        hi = vec_t.astype(jnp.bfloat16)
+        lo = (vec_t - hi.astype(f32)).astype(jnp.bfloat16)
+        m = master_ref[:]
+
+        def ex(v):
+            return (oh_d[:, None, :] * v[None, :, :]).reshape(D * T, BT)
+
+        return (jnp.dot(m, ex(hi), preferred_element_type=f32)
+                + jnp.dot(m, ex(lo), preferred_element_type=f32))
+
     texp = _texp(tex_ref, T)
     if has_asr:
         cw = _asr_cw(tex_ref, T, cw)
@@ -699,8 +754,7 @@ def _trial2_full_kernel(meta_ref, fmeta_ref, tex_ref, si_ref, sf_ref,
            if has_asr else [max(float(c) * T, 1e-17) for c in cw])
 
     def infill_of(wg):
-        s = jnp.sum(srow_i * wg[None, :, :], axis=1)
-        return jnp.floor((8.0 + s) * (1.0 / 16.0))
+        return jnp.floor((8.0 + dot_tdw_i(wg)) * (1.0 / 16.0))
 
     def trial_err(w1, w2, ep0s, ep1s):
         i1 = infill_of(w1)
@@ -731,9 +785,9 @@ def _trial2_full_kernel(meta_ref, fmeta_ref, tex_ref, si_ref, sf_ref,
         for ch in range(4):
             t_b = jnp.broadcast_to(offs[ch] * offs[ch] * cw[ch], (T, BT))
             C_t = t_b if C_t is None else C_t + t_b
-        SC = jnp.sum(srow_f * srow_f * C_t[:, None, :], axis=0)
+        SC = dot_wdt(ssq_wdt_ref, C_t)
         downf, upf = pn_lookup(wg)
-        infilled = jnp.sum(srow_f * wg[None, :, :], axis=1)
+        infilled = dot_tdw_f(wg)
         wcur = wg
         adjusted = jnp.zeros((1, BT), f32)
         for k in range(ncolors):
@@ -746,8 +800,8 @@ def _trial2_full_kernel(meta_ref, fmeta_ref, tex_ref, si_ref, sf_ref,
                 tb = diff * offs[ch] * cw[ch]
                 A_t = ta if A_t is None else A_t + ta
                 B_t = tb if B_t is None else B_t + tb
-            SA = jnp.sum(srow_inc * A_t[:, None, :], axis=0)
-            SB = jnp.sum(srow_f * B_t[:, None, :], axis=0)
+            SA = dot_wdt(sind_wdt_ref, A_t)
+            SB = dot_wdt(sf_wdt_ref, B_t)
             d_dn = downf - wcur
             d_up = upf - wcur
             e_dn = SA + 2.0 * d_dn * SB + d_dn * d_dn * SC
@@ -757,8 +811,7 @@ def _trial2_full_kernel(meta_ref, fmeta_ref, tex_ref, si_ref, sf_ref,
             go_dn = (~go_up) & (e_dn < SA) & (wcur > 0.0) & ok
             new_w = jnp.where(go_up, upf, jnp.where(go_dn, downf, wcur))
             delta = new_w - wcur
-            infilled = infilled + jnp.sum(srow_f * delta[None, :, :],
-                                          axis=1)
+            infilled = infilled + dot_tdw_f(delta)
             wcur = new_w
             changed = jnp.max(jnp.where(go_up | go_dn, 1.0, 0.0),
                               axis=0, keepdims=True)
@@ -867,8 +920,8 @@ def _trial2_full_kernel(meta_ref, fmeta_ref, tex_ref, si_ref, sf_ref,
     zero_i = jnp.zeros((1, BT), jnp.int32)
 
     for r in range(R):
-        u1 = jnp.sum(srow_f * wg1[None, :, :], axis=1) * (1.0 / 64.0)
-        u2 = jnp.sum(srow_f * wg2[None, :, :], axis=1) * (1.0 / 64.0)
+        u1 = dot_tdw_f(wg1) * (1.0 / 64.0)
+        u2 = dot_tdw_f(wg2) * (1.0 / 64.0)
         rgbs = recompute2(u1, u2)
 
         fmt_p, vals_p = rowops.pack_ldr_rows(
@@ -905,9 +958,10 @@ def _trial2_full_kernel(meta_ref, fmeta_ref, tex_ref, si_ref, sf_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnums=(9, 10, 11, 12, 13, 14, 15, 16, 17, 18,
-                                   19))
-def _trial2_full_call(metaT, fmetaT, texT, si, sf, dmc, pn, lo, hi,
+                   static_argnums=(12, 13, 14, 15, 16, 17, 18, 19, 20, 21,
+                                   22))
+def _trial2_full_call(metaT, fmetaT, texT, si_tdw, sf_tdw, sf_wdt,
+                      ssq_wdt, sind_wdt, dmc, pn, lo, hi,
                       T: int, W: int, D: int, ncolors: int, u8_mask: bool,
                       cw: tuple, R: int, profile: int, BT: int,
                       has_asr: bool = False, rgbm_scale: float = 0.0):
@@ -918,6 +972,7 @@ def _trial2_full_call(metaT, fmetaT, texT, si, sf, dmc, pn, lo, hi,
                              rgbm_scale=rgbm_scale)
     const_spec = lambda shape: pl.BlockSpec(
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    consts = (si_tdw, sf_tdw, sf_wdt, ssq_wdt, sind_wdt, dmc, pn, lo, hi)
     return pl.pallas_call(
         kern,
         out_shape=(jax.ShapeDtypeStruct((192 * R, B), jnp.int32),
@@ -930,13 +985,7 @@ def _trial2_full_call(metaT, fmetaT, texT, si, sf, dmc, pn, lo, hi,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((texT.shape[0], BT), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            const_spec(si.shape),
-            const_spec(sf.shape),
-            const_spec(dmc.shape),
-            const_spec(pn.shape),
-            const_spec(lo.shape),
-            const_spec(hi.shape),
-        ],
+        ] + [const_spec(c.shape) for c in consts],
         out_specs=(pl.BlockSpec((192 * R, BT), lambda i: (0, i),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((8, BT), lambda i: (0, i),
@@ -944,7 +993,7 @@ def _trial2_full_call(metaT, fmetaT, texT, si, sf, dmc, pn, lo, hi,
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=32 * 1024 * 1024),
-    )(metaT, fmetaT, texT, si, sf, dmc, pn, lo, hi)
+    )(metaT, fmetaT, texT, *consts)
 
 
 def trial2_refine_full(tables: RefineTables, meta, fmeta, tex,
@@ -967,7 +1016,8 @@ def trial2_refine_full(tables: RefineTables, meta, fmeta, tex,
         fmeta = jnp.pad(fmeta, ((0, pad), (0, 0)))
         tex = jnp.pad(tex, ((0, pad), (0, 0)))
     oint, of32 = _trial2_full_call(
-        meta.T, fmeta.T, tex.T, tables.si, tables.sf, tables.dmc,
+        meta.T, fmeta.T, tex.T, tables.si_tdw, tables.sf_tdw,
+        tables.sf_wdt, tables.ssq_wdt, tables.sind_wdt, tables.dmc,
         tables.pn, tables.lo, tables.hi, tables.T, tables.W, tables.D,
         ncolors, u8_mask, tuple(float(c) for c in cw), R, profile, BT,
         cw_scale is not None, float(rgbm_scale))
@@ -1051,8 +1101,7 @@ def _refine2_kernel(meta_ref, tex_ref, si_ref, sf_ref, dmc_ref, pn_ref,
     is_p2 = [p2c == ch for ch in range(4)]         # (1, BT) each
 
     def infill_of(wg):
-        s = jnp.sum(srow_i * wg[None, :, :], axis=1)
-        return jnp.floor((8.0 + s) * (1.0 / 16.0))  # (T, BT) exact ints
+        return jnp.floor((8.0 + dot_tdw_i(wg)) * (1.0 / 16.0))  # (T, BT) exact ints
 
     def trial_err(wg1, wg2):
         i1 = infill_of(wg1)
@@ -1496,6 +1545,26 @@ class RefineTables:
             dec_int_np.transpose(1, 2, 0).reshape(T * W, D), jnp.bfloat16)
         self.sf = jnp.asarray(
             dec_f32_np.transpose(1, 2, 0).reshape(T * W, D), jnp.bfloat16)
+        # Contraction masters: every dense (T, W, BT) stencil reduction in
+        # the trial kernels is a matmul against these, fed by a one-hot
+        # (d) expand of the per-block vector operand — the (T, W, BT)
+        # stencil tensors never materialize (see _trial1_full_kernel).
+        # TDW = [t, d*W+w] (contract over w), WDT = [w, d*T+t] (over t).
+        # bf16 masters pair with bf16-exact integer vectors (exact, f32
+        # accumulate); f32 masters contract against f32 error terms.
+        self.si_tdw = jnp.asarray(
+            dec_int_np.transpose(1, 0, 2).reshape(T, D * W), jnp.bfloat16)
+        self.sf_tdw = jnp.asarray(
+            dec_f32_np.transpose(1, 0, 2).reshape(T, D * W), jnp.bfloat16)
+        f32m = dec_f32_np.astype(np.float32)
+        self.sf_wdt = jnp.asarray(
+            f32m.transpose(2, 0, 1).reshape(W, D * T), jnp.bfloat16)
+        self.ssq_wdt = jnp.asarray(
+            (f32m * f32m).transpose(2, 0, 1).reshape(W, D * T),
+            jnp.bfloat16)
+        self.sind_wdt = jnp.asarray(
+            (dec_int_np != 0).transpose(2, 0, 1).reshape(W, D * T),
+            jnp.bfloat16)
         dmc = np.zeros((128, D), np.float32)
         dmc[0:W, :] = dm_color_np.T
         dmc[64:64 + W, :] = wvalid_np.T.astype(np.float32)
