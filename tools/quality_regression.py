@@ -48,11 +48,15 @@ def astc_header(bx, by, bz, dx, dy, dz):
             + dz.to_bytes(3, "little"))
 
 
+QUALITY_OF = {"fastest": "FASTEST", "fast": "FAST", "medium": "MEDIUM",
+              "thorough": "THOROUGH", "verythorough": "VERYTHOROUGH",
+              "exhaustive": "EXHAUSTIVE"}
+
+
 def encode_image(img, bx, by, preset):
     from astcenc_tpu import api
     from astcenc_tpu.config import Profile, Quality
-    q = {"fastest": Quality.FASTEST, "fast": Quality.FAST,
-         "medium": Quality.MEDIUM, "thorough": Quality.THOROUGH}[preset]
+    q = getattr(Quality, QUALITY_OF[preset])
     cfg = api.config_init(Profile.LDR, bx, by, 1, q, 0)
     ctx = api.context_alloc(cfg)
     t0 = time.perf_counter()
@@ -77,6 +81,62 @@ def decode_blob(ctx, blob, bx, by, w, h):
     from astcenc_tpu import api
     return np.asarray(api.decompress_image(ctx, np.frombuffer(blob, np.uint8),
                                            w, h, 1)), "own"
+
+
+def ref_row(img_path, bx, by, preset, set_name):
+    """Reference-binary row for presets without committed result CSVs
+    (-verythorough/-exhaustive): encode + decode with the reference binary,
+    PSNR through the same metric code our rows use."""
+    from PIL import Image
+    import numpy as np
+    from astcenc_tpu.utils import metrics
+    with tempfile.TemporaryDirectory() as td:
+        astc = os.path.join(td, "x.astc")
+        png = os.path.join(td, "x.png")
+        t0 = time.perf_counter()
+        r = subprocess.run([REF_BIN, "-cl", img_path, astc,
+                            f"{bx}x{by}", "-" + preset, "-silent"],
+                           capture_output=True, timeout=1800)
+        enc_dt = time.perf_counter() - t0
+        if r.returncode != 0:
+            raise RuntimeError(r.stderr.decode()[:400])
+        subprocess.run([REF_BIN, "-dl", astc, png], check=True,
+                       capture_output=True, timeout=300)
+        src = np.asarray(Image.open(img_path).convert("RGBA"))
+        dec = np.asarray(Image.open(png).convert("RGBA"))
+    h, w = src.shape[:2]
+    psnr = metrics.psnr(src, dec)
+    rate = w * h / enc_dt / 1e6
+    return [set_name, f"{bx}x{by}", os.path.basename(img_path),
+            f"{psnr:.4f}", f"{enc_dt:.4f}", f"{enc_dt:.4f}",
+            f"{rate:.4f}"]
+
+
+def refrun(args):
+    """Write reference-binary result CSVs (same schema) for presets that
+    have no committed reference CSVs."""
+    images = sorted(f for f in os.listdir(args.images)
+                    if f.lower().endswith((".png", ".tga", ".bmp")))
+    if args.limit:
+        images = images[:args.limit]
+    blocks = ([tuple(int(v) for v in b.split("x")) for b in
+               args.blocks.split(",")] if args.blocks else BLOCKS)
+    presets = args.presets.split(",") if args.presets else PRESETS
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    for preset in presets:
+        path = f"{args.out}_{preset}_results.csv"
+        with open(path, "w", newline="") as f:
+            wr = csv.writer(f)
+            wr.writerow(["Image Set", "Block Size", "Name", "PSNR",
+                         "Total Time", "Coding Time", "Coding Rate"])
+            for bx, by in blocks:
+                for name in images:
+                    row = ref_row(os.path.join(args.images, name), bx, by,
+                                  preset, args.set_name)
+                    wr.writerow(row)
+                    print(f"ref {preset} {bx}x{by} {name}: {row[3]} dB",
+                          flush=True)
+        print("wrote", path)
 
 
 def run(args):
@@ -145,24 +205,73 @@ def gate(args):
     return 1 if bad or matched == 0 else 0
 
 
+def summarize(args):
+    """Aggregate the per-preset comparisons into the committed artifact
+    (QUALITY_rNN.json): per preset, rows compared, regressions at tol,
+    worst/best delta, mean delta."""
+    import json
+    report = {"tolerance_db": args.tol, "presets": {}}
+    ok = True
+    for pair in args.pairs:
+        preset, ours_csv, ref_csv = pair.split(":")
+        ours = load_rows(ours_csv)
+        ref = load_rows(ref_csv)
+        deltas = {k: ours[k] - ref[k] for k in ours if k in ref}
+        if not deltas:
+            report["presets"][preset] = {"rows": 0, "error": "no overlap"}
+            ok = False
+            continue
+        regress = {f"{k[0]}/{k[1]}": round(d, 4)
+                   for k, d in deltas.items() if d < -args.tol}
+        vals = list(deltas.values())
+        report["presets"][preset] = {
+            "rows": len(vals),
+            "regressions": len(regress),
+            "regressed_rows": regress,
+            "worst_delta_db": round(min(vals), 4),
+            "best_delta_db": round(max(vals), 4),
+            "mean_delta_db": round(sum(vals) / len(vals), 4),
+            "rows_beating_reference": sum(1 for v in vals if v > 0),
+        }
+        if regress:
+            ok = False
+    report["pass"] = ok
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+    print("wrote", args.out)
+    return 0 if ok else 1
+
+
 def main():
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="cmd", required=True)
-    r = sub.add_parser("run")
-    r.add_argument("--images", default=DEFAULT_IMAGES)
-    r.add_argument("--out", default="results/astcenc_tpu_small")
-    r.add_argument("--set-name", default="Small")
-    r.add_argument("--blocks", default="")
-    r.add_argument("--presets", default="")
-    r.add_argument("--limit", type=int, default=0)
+    for cmd in ("run", "refrun"):
+        r = sub.add_parser(cmd)
+        r.add_argument("--images", default=DEFAULT_IMAGES)
+        r.add_argument("--out", default="results/astcenc_tpu_small")
+        r.add_argument("--set-name", default="Small")
+        r.add_argument("--blocks", default="")
+        r.add_argument("--presets", default="")
+        r.add_argument("--limit", type=int, default=0)
     g = sub.add_parser("gate")
     g.add_argument("--ours", required=True)
     g.add_argument("--ref", required=True)
     g.add_argument("--tol", type=float, default=0.05)
+    sm = sub.add_parser("summarize")
+    sm.add_argument("pairs", nargs="+",
+                    help="preset:ours.csv:ref.csv triples")
+    sm.add_argument("--tol", type=float, default=0.05)
+    sm.add_argument("--out", default="QUALITY.json")
     args = ap.parse_args()
     if args.cmd == "run":
         run(args)
         return 0
+    if args.cmd == "refrun":
+        refrun(args)
+        return 0
+    if args.cmd == "summarize":
+        return summarize(args)
     return gate(args)
 
 
