@@ -33,11 +33,12 @@ from ..tables import ise, quant
 ERROR_CALC_DEFAULT = 1e30
 QUANT_32 = 11
 
-# Largest texel count routed through the fused Pallas kernels.
-# 144 covers every 2D block size (12x12) plus 3D up to 5x5x5;
-# 6x6x6 (T=216) stays on the XLA path until its ~21 MB of VMEM
-# stencil working set is tiled.
-_KMAX_T = 144
+# Largest texel count routed through the fused Pallas kernels: 216
+# covers every legal footprint, 2D (up to 12x12) and 3D (up to 6x6x6).
+# The 6x6x6 blocker fell when the kernels' stencil reductions moved to
+# MXU contractions (ops/refine_pallas.py): the dense (T, W, BT) stencil
+# working set (~21 MB at T=216) no longer materializes.
+_KMAX_T = 216
 
 
 def effective_cw(cfg, st):

@@ -181,7 +181,8 @@ def _asr_cw(tex_ref, T: int, cw):
             jnp.full_like(asr, jnp.float32(cw[3])))
 
 
-def _refine_kernel(meta_ref, tex_ref, si_ref, sf_ref, dmc_ref, pn_ref,
+def _refine_kernel(meta_ref, tex_ref, si_tdw_ref, sf_tdw_ref, sf_wdt_ref,
+                   ssq_wdt_ref, sind_wdt_ref, dmc_ref, pn_ref,
                    oint_ref, of32_ref, *, T: int, W: int, D: int,
                    ncolors: int, u8_mask: bool, cw: tuple,
                    has_asr: bool = False, rgbm_scale: float = 0.0):
@@ -194,13 +195,32 @@ def _refine_kernel(meta_ref, tex_ref, si_ref, sf_ref, dmc_ref, pn_ref,
 
     f32 = jnp.float32
 
-    # Per-block stencil rows: one MXU matmul + a free major-dim reshape.
+    # MXU stencil contractions (see _trial1_full_kernel): no (T, W, BT)
+    # stencil tensor ever materializes, which is what admits T=216.
     oh_d = (jax.lax.broadcasted_iota(jnp.int32, (D, BT), 0)
             == d_row).astype(jnp.bfloat16)
-    srow_i = jnp.dot(si_ref[:], oh_d,
-                     preferred_element_type=f32).reshape(T, W, BT)
-    srow_f = jnp.dot(sf_ref[:], oh_d,
-                     preferred_element_type=f32).reshape(T, W, BT)
+    oh_f = oh_d.astype(f32)
+
+    def dot_tdw_i(vec_w):
+        x = (oh_d[:, None, :]
+             * vec_w.astype(jnp.bfloat16)[None, :, :]).reshape(D * W, BT)
+        return jnp.dot(si_tdw_ref[:], x, preferred_element_type=f32)
+
+    def dot_tdw_f(vec_w):
+        x = (oh_d[:, None, :]
+             * vec_w.astype(jnp.bfloat16)[None, :, :]).reshape(D * W, BT)
+        return jnp.dot(sf_tdw_ref[:], x, preferred_element_type=f32)
+
+    def dot_wdt(master_ref, vec_t):
+        hi = vec_t.astype(jnp.bfloat16)
+        lo = (vec_t - hi.astype(f32)).astype(jnp.bfloat16)
+        m = master_ref[:]
+
+        def ex(v):
+            return (oh_d[:, None, :] * v[None, :, :]).reshape(D * T, BT)
+
+        return (jnp.dot(m, ex(hi), preferred_element_type=f32)
+                + jnp.dot(m, ex(lo), preferred_element_type=f32))
 
     # Per-texel endpoints, one (T, BT) plane per channel.
     ep0t = []
@@ -225,7 +245,7 @@ def _refine_kernel(meta_ref, tex_ref, si_ref, sf_ref, dmc_ref, pn_ref,
     TS = tex_stride(T)
 
     def trial_err(wgrid_f):
-        s = jnp.sum(srow_i * wgrid_f[None, :, :], axis=1)      # (T, BT)
+        s = dot_tdw_i(wgrid_f)                                 # (T, BT)
         infill = jnp.floor((8.0 + s) * (1.0 / 16.0))           # exact ints
         colors = []
         for ch in range(4):
@@ -241,7 +261,7 @@ def _refine_kernel(meta_ref, tex_ref, si_ref, sf_ref, dmc_ref, pn_ref,
     if ncolors == 0:
         # Bootstrap mode: no realign — just the infill of the incoming grid
         # (round 0's least-squares refit input) and its trial error.
-        undec0 = jnp.sum(srow_f * w64[None, :, :], axis=1) * (1.0 / 64.0)
+        undec0 = dot_tdw_f(w64) * (1.0 / 64.0)
         oint_ref[:] = _cat(
             [w64.astype(jnp.int32), jnp.zeros((128 - W, BT), jnp.int32)])
         of32_ref[:] = _cat(
@@ -271,10 +291,9 @@ def _refine_kernel(meta_ref, tex_ref, si_ref, sf_ref, dmc_ref, pn_ref,
     for ch in range(4):
         term = offs[ch] * offs[ch] * cw[ch]
         C_t = term if C_t is None else C_t + term
-    srow_inc = (srow_i != 0.0).astype(f32)
-    SC = jnp.sum(srow_f * srow_f * C_t[:, None, :], axis=0)    # (W, BT)
+    SC = dot_wdt(ssq_wdt_ref, C_t)                         # (W, BT)
 
-    infilled = jnp.sum(srow_f * w64[None, :, :], axis=1)       # (T, BT)
+    infilled = dot_tdw_f(w64)                                  # (T, BT)
     wgrid = w64
     adjusted = jnp.zeros((1, BT), f32)
 
@@ -288,8 +307,8 @@ def _refine_kernel(meta_ref, tex_ref, si_ref, sf_ref, dmc_ref, pn_ref,
             tb = diff * offs[ch] * cw[ch]
             A_t = ta if A_t is None else A_t + ta
             B_t = tb if B_t is None else B_t + tb
-        SA = jnp.sum(srow_inc * A_t[:, None, :], axis=0)       # (W, BT)
-        SB = jnp.sum(srow_f * B_t[:, None, :], axis=0)
+        SA = dot_wdt(sind_wdt_ref, A_t)                        # (W, BT)
+        SB = dot_wdt(sf_wdt_ref, B_t)
 
         d_dn = downf - wgrid
         d_up = upf - wgrid
@@ -303,7 +322,7 @@ def _refine_kernel(meta_ref, tex_ref, si_ref, sf_ref, dmc_ref, pn_ref,
 
         new_w = jnp.where(go_up, upf, jnp.where(go_dn, downf, wgrid))
         delta = new_w - wgrid
-        infilled = infilled + jnp.sum(srow_f * delta[None, :, :], axis=1)
+        infilled = infilled + dot_tdw_f(delta)
         wgrid = new_w
         changed = jnp.max(jnp.where(go_up | go_dn, 1.0, 0.0),
                           axis=0, keepdims=True)
@@ -313,7 +332,7 @@ def _refine_kernel(meta_ref, tex_ref, si_ref, sf_ref, dmc_ref, pn_ref,
         # update — the initial-wgrid lookup is exact for every class step.
 
     err_post = trial_err(wgrid)
-    undec = jnp.sum(srow_f * wgrid[None, :, :], axis=1) * (1.0 / 64.0)
+    undec = dot_tdw_f(wgrid) * (1.0 / 64.0)
 
     oint_ref[:] = _cat(
         [wgrid.astype(jnp.int32),
@@ -1068,7 +1087,9 @@ def pack_meta_full(wgrid, d_idx, wq, alive, cq, cqm, fmt_req, pot, T: int):
     return meta
 
 
-def _refine2_kernel(meta_ref, tex_ref, si_ref, sf_ref, dmc_ref, pn_ref,
+def _refine2_kernel(meta_ref, tex_ref, si_tdw_ref, sf_tdw_ref,
+                    sf_wdt_ref, ssq_wdt_ref, sind_wdt_ref, dmc_ref,
+                    pn_ref,
                     oint_ref, of32_ref, *, T: int, W: int, D: int,
                     ncolors: int, u8_mask: bool, cw: tuple,
                     has_asr: bool = False, rgbm_scale: float = 0.0):
@@ -1087,10 +1108,28 @@ def _refine2_kernel(meta_ref, tex_ref, si_ref, sf_ref, dmc_ref, pn_ref,
     f32 = jnp.float32
     oh_d = (jax.lax.broadcasted_iota(jnp.int32, (D, BT), 0)
             == d_row).astype(jnp.bfloat16)
-    srow_i = jnp.dot(si_ref[:], oh_d,
-                     preferred_element_type=f32).reshape(T, W, BT)
-    srow_f = jnp.dot(sf_ref[:], oh_d,
-                     preferred_element_type=f32).reshape(T, W, BT)
+
+    # MXU stencil contractions (see _trial1_full_kernel).
+    def dot_tdw_i(vec_w):
+        x = (oh_d[:, None, :]
+             * vec_w.astype(jnp.bfloat16)[None, :, :]).reshape(D * W, BT)
+        return jnp.dot(si_tdw_ref[:], x, preferred_element_type=f32)
+
+    def dot_tdw_f(vec_w):
+        x = (oh_d[:, None, :]
+             * vec_w.astype(jnp.bfloat16)[None, :, :]).reshape(D * W, BT)
+        return jnp.dot(sf_tdw_ref[:], x, preferred_element_type=f32)
+
+    def dot_wdt(master_ref, vec_t):
+        hi = vec_t.astype(jnp.bfloat16)
+        lo = (vec_t - hi.astype(f32)).astype(jnp.bfloat16)
+        m = master_ref[:]
+
+        def ex(v):
+            return (oh_d[:, None, :] * v[None, :, :]).reshape(D * T, BT)
+
+        return (jnp.dot(m, ex(hi), preferred_element_type=f32)
+                + jnp.dot(m, ex(lo), preferred_element_type=f32))
 
     # Single partition: endpoints broadcast per channel.
     ep0s = [meta[128 + ch:129 + ch, :].astype(f32) for ch in range(4)]
@@ -1144,11 +1183,10 @@ def _refine2_kernel(meta_ref, tex_ref, si_ref, sf_ref, dmc_ref, pn_ref,
         for ch in range(4):
             t_b = jnp.broadcast_to(offs[ch] * offs[ch] * cw[ch], (T, BT))
             C_t = t_b if C_t is None else C_t + t_b
-        srow_inc = (srow_i != 0.0).astype(f32)
-        SC = jnp.sum(srow_f * srow_f * C_t[:, None, :], axis=0)
+        SC = dot_wdt(ssq_wdt_ref, C_t)
 
         downf, upf = pn_lookup(wg)
-        infilled = jnp.sum(srow_f * wg[None, :, :], axis=1)
+        infilled = dot_tdw_f(wg)
         wgrid = wg
         adjusted = jnp.zeros((1, BT), f32)
         for k in range(ncolors):
@@ -1161,8 +1199,8 @@ def _refine2_kernel(meta_ref, tex_ref, si_ref, sf_ref, dmc_ref, pn_ref,
                 tb = diff * offs[ch] * cw[ch]
                 A_t = ta if A_t is None else A_t + ta
                 B_t = tb if B_t is None else B_t + tb
-            SA = jnp.sum(srow_inc * A_t[:, None, :], axis=0)
-            SB = jnp.sum(srow_f * B_t[:, None, :], axis=0)
+            SA = dot_wdt(sind_wdt_ref, A_t)
+            SB = dot_wdt(sf_wdt_ref, B_t)
 
             d_dn = downf - wgrid
             d_up = upf - wgrid
@@ -1176,7 +1214,7 @@ def _refine2_kernel(meta_ref, tex_ref, si_ref, sf_ref, dmc_ref, pn_ref,
 
             new_w = jnp.where(go_up, upf, jnp.where(go_dn, downf, wgrid))
             delta = new_w - wgrid
-            infilled = infilled + jnp.sum(srow_f * delta[None, :, :], axis=1)
+            infilled = infilled + dot_tdw_f(delta)
             wgrid = new_w
             changed = jnp.max(jnp.where(go_up | go_dn, 1.0, 0.0),
                               axis=0, keepdims=True)
@@ -1188,8 +1226,8 @@ def _refine2_kernel(meta_ref, tex_ref, si_ref, sf_ref, dmc_ref, pn_ref,
     adjusted = jnp.maximum(adj1, adj2)
 
     err_post = trial_err(nw1, nw2)
-    u1 = jnp.sum(srow_f * nw1[None, :, :], axis=1) * (1.0 / 64.0)
-    u2 = jnp.sum(srow_f * nw2[None, :, :], axis=1) * (1.0 / 64.0)
+    u1 = dot_tdw_f(nw1) * (1.0 / 64.0)
+    u2 = dot_tdw_f(nw2) * (1.0 / 64.0)
 
     oint_ref[:] = _cat(
         [nw1.astype(jnp.int32), jnp.zeros((64 - W, BT), jnp.int32),
@@ -1203,7 +1241,8 @@ def _refine2_kernel(meta_ref, tex_ref, si_ref, sf_ref, dmc_ref, pn_ref,
          jnp.zeros((6, BT), f32)])
 
 
-def _refine2_boot_kernel(meta_ref, tex_ref, si_ref, sf_ref, dmc_ref,
+def _refine2_boot_kernel(meta_ref, tex_ref, si_tdw_ref, sf_tdw_ref,
+                         sf_wdt_ref, ssq_wdt_ref, sind_wdt_ref, dmc_ref,
                          pn_ref, oint_ref, of32_ref, *, T: int, W: int,
                          D: int, ncolors: int, u8_mask: bool, cw: tuple,
                          has_asr: bool = False, rgbm_scale: float = 0.0):
@@ -1216,10 +1255,14 @@ def _refine2_boot_kernel(meta_ref, tex_ref, si_ref, sf_ref, dmc_ref,
     f32 = jnp.float32
     oh_d = (jax.lax.broadcasted_iota(jnp.int32, (D, BT), 0)
             == d_row).astype(jnp.bfloat16)
-    srow_f = jnp.dot(sf_ref[:], oh_d,
-                     preferred_element_type=f32).reshape(T, W, BT)
-    u1 = jnp.sum(srow_f * w1[None, :, :], axis=1) * (1.0 / 64.0)
-    u2 = jnp.sum(srow_f * w2[None, :, :], axis=1) * (1.0 / 64.0)
+
+    def dot_tdw_f(vec_w):
+        x = (oh_d[:, None, :]
+             * vec_w.astype(jnp.bfloat16)[None, :, :]).reshape(D * W, BT)
+        return jnp.dot(sf_tdw_ref[:], x, preferred_element_type=f32)
+
+    u1 = dot_tdw_f(w1) * (1.0 / 64.0)
+    u2 = dot_tdw_f(w2) * (1.0 / 64.0)
     TS = tex_stride(T)
     oint_ref[:] = jnp.zeros((128, BT), jnp.int32)
     of32_ref[:] = _cat(
@@ -1228,8 +1271,9 @@ def _refine2_boot_kernel(meta_ref, tex_ref, si_ref, sf_ref, dmc_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14, 15))
-def _refine2_call(metaT, texT, si, sf, dmc, pn,
+                   static_argnums=(9, 10, 11, 12, 13, 14, 15, 16, 17, 18))
+def _refine2_call(metaT, texT, si_tdw, sf_tdw, sf_wdt, ssq_wdt, sind_wdt,
+                  dmc, pn,
                   T: int, W: int, D: int, ncolors: int, u8_mask: bool,
                   cw: tuple, BT: int, boot: bool, has_asr: bool = False,
                   rgbm_scale: float = 0.0):
@@ -1252,8 +1296,11 @@ def _refine2_call(metaT, texT, si, sf, dmc, pn,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((XR, BT), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            const_spec(si.shape),
-            const_spec(sf.shape),
+            const_spec(si_tdw.shape),
+            const_spec(sf_tdw.shape),
+            const_spec(sf_wdt.shape),
+            const_spec(ssq_wdt.shape),
+            const_spec(sind_wdt.shape),
             const_spec(dmc.shape),
             const_spec(pn.shape),
         ],
@@ -1261,7 +1308,9 @@ def _refine2_call(metaT, texT, si, sf, dmc, pn,
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((FR, BT), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)),
-    )(metaT, texT, si, sf, dmc, pn)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
+    )(metaT, texT, si_tdw, sf_tdw, sf_wdt, ssq_wdt, sind_wdt, dmc, pn)
 
 
 def pack_meta_2plane(wg1, wg2, d_idx, wq, alive, p2c, ep0, ep1):
@@ -1297,7 +1346,9 @@ def refine_round_2plane(tables: RefineTables, meta, tex, ncolors: int,
     if pad:
         meta = jnp.pad(meta, ((0, pad), (0, 0)))
         tex = jnp.pad(tex, ((0, pad), (0, 0)))
-    oint, of32 = _refine2_call(meta.T, tex.T, tables.si, tables.sf,
+    oint, of32 = _refine2_call(meta.T, tex.T, tables.si_tdw,
+                               tables.sf_tdw, tables.sf_wdt,
+                               tables.ssq_wdt, tables.sind_wdt,
                                tables.dmc, tables.pn, tables.T, tables.W,
                                tables.D, ncolors, u8_mask,
                                tuple(float(c) for c in cw), BT,
@@ -1313,8 +1364,9 @@ def refine_round_2plane(tables: RefineTables, meta, tex, ncolors: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14))
-def _refine_call(metaT, texT, si, sf, dmc, pn,
+                   static_argnums=(9, 10, 11, 12, 13, 14, 15, 16, 17))
+def _refine_call(metaT, texT, si_tdw, sf_tdw, sf_wdt, ssq_wdt, sind_wdt,
+                 dmc, pn,
                  T: int, W: int, D: int, ncolors: int, u8_mask: bool,
                  cw: tuple, BT: int, has_asr: bool = False,
                  rgbm_scale: float = 0.0):
@@ -1336,8 +1388,11 @@ def _refine_call(metaT, texT, si, sf, dmc, pn,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((XR, BT), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            const_spec(si.shape),
-            const_spec(sf.shape),
+            const_spec(si_tdw.shape),
+            const_spec(sf_tdw.shape),
+            const_spec(sf_wdt.shape),
+            const_spec(ssq_wdt.shape),
+            const_spec(sind_wdt.shape),
             const_spec(dmc.shape),
             const_spec(pn.shape),
         ],
@@ -1345,7 +1400,9 @@ def _refine_call(metaT, texT, si, sf, dmc, pn,
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((FR, BT), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)),
-    )(metaT, texT, si, sf, dmc, pn)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
+    )(metaT, texT, si_tdw, sf_tdw, sf_wdt, ssq_wdt, sind_wdt, dmc, pn)
 
 
 def _recompute_1plane_rows(texp, pot, undec, cw, ep0_prev, ep1_prev,
@@ -1539,12 +1596,6 @@ class RefineTables:
         D, T, W = dec_int_np.shape
         assert W <= 64, "1-plane weight grids are <= 64 weights"
         self.D, self.T, self.W = D, T, W
-        # (T*W, D) bf16 masters for the in-kernel MXU one-hot selects;
-        # stencil payloads are exact in bf16.
-        self.si = jnp.asarray(
-            dec_int_np.transpose(1, 2, 0).reshape(T * W, D), jnp.bfloat16)
-        self.sf = jnp.asarray(
-            dec_f32_np.transpose(1, 2, 0).reshape(T * W, D), jnp.bfloat16)
         # Contraction masters: every dense (T, W, BT) stencil reduction in
         # the trial kernels is a matmul against these, fed by a one-hot
         # (d) expand of the per-block vector operand — the (T, W, BT)
@@ -1623,7 +1674,9 @@ def refine_round_1plane(tables: RefineTables, meta, tex, ncolors: int,
     if pad:
         meta = jnp.pad(meta, ((0, pad), (0, 0)))
         tex = jnp.pad(tex, ((0, pad), (0, 0)))
-    oint, of32 = _refine_call(meta.T, tex.T, tables.si, tables.sf,
+    oint, of32 = _refine_call(meta.T, tex.T, tables.si_tdw,
+                              tables.sf_tdw, tables.sf_wdt,
+                              tables.ssq_wdt, tables.sind_wdt,
                               tables.dmc, tables.pn, tables.T, tables.W,
                               tables.D, ncolors, u8_mask,
                               tuple(float(c) for c in cw), BT,
