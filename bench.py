@@ -29,7 +29,25 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np  # noqa: E402
 
-BASELINE_MTS = 9.48
+# Matched baseline: aggregate whole-corpus rate of the reference
+# (astcenc 5.0 AVX2, 6-thread i5-9600K) on the SAME images the bench
+# encodes — the Small LDR-RGB set at 6x6 -medium, from the committed
+# result CSV. (The earlier 9.48 MT/s figure is the Kodak-set average:
+# different, easier content, kept in BASELINE.md for context.)
+def _baseline_mts():
+    import csv
+    path = ("/root/reference/Test/Images/Small/"
+            "astc_reference-5.0-avx2_medium_results.csv")
+    if not os.path.exists(path):
+        return 9.48  # fall back to the BASELINE.md Kodak figure
+    tot_tex, tot_s = 0.0, 0.0
+    for r in csv.DictReader(open(path)):
+        if r["Block Size"] != "6x6" or not r["Name"].startswith("ldr-rgb-"):
+            continue
+        rate = float(r["Coding Rate"])
+        tot_tex += 256 * 256
+        tot_s += 256 * 256 / (rate * 1e6)
+    return tot_tex / tot_s / 1e6
 
 # One-family-at-a-time fallback tiers (VERDICT r2 weak #4): each tier
 # disables the family most likely to be the culprit next, so a compile
@@ -162,11 +180,14 @@ def main():
     dt = time.perf_counter() - t0
 
     mts = n_texels_total / dt / 1e6
+    baseline = _baseline_mts()
     out = {
         "metric": "compress_6x6_medium_throughput",
         "value": round(mts, 3),
         "unit": "Mtexels/s",
-        "vs_baseline": round(mts / BASELINE_MTS, 3),
+        "vs_baseline": round(mts / baseline, 3),
+        "baseline_mts": round(baseline, 3),
+        "baseline": "astcenc-5.0-avx2 6T, same Small LDR-RGB corpus",
     }
     if disabled:
         # Explicit failure signal for pipelines keying on this artifact
