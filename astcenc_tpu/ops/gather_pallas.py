@@ -75,14 +75,19 @@ def kernel_bt() -> int:
     return int(os.environ.get("ASTC_BT", "128"))
 
 
-def ms_bt(n: int) -> int:
+def ms_bt(n: int, t: int = 36) -> int:
     """Lane-axis tile width for the mode-search kernel. Its working set is
-    (T, BT) planes plus per-mode scalar rows — small enough that 512-lane
+    (T, BT) planes plus per-mode scalar rows — at 6x6 (T=36) 512-lane
     tiles fit VMEM, and the per-mode row arithmetic dominates, so wider
-    tiles run ~1.7x faster than 128 on v5e. Narrowed for small batches so
-    padding never exceeds ~2x the real lane count."""
+    tiles run ~1.7x faster than 128 on v5e. The working set scales with
+    the texel count, though: at T=64 (8x8) a 512-lane tile overflows the
+    scoped-VMEM budget (Mosaic stack OOM, 69.4M vs 64M), so the width
+    halves as T grows — keep T*BT within the swept 6x6 envelope. Narrowed
+    for small batches so padding never exceeds ~2x the real lane count."""
     import os
     bt = int(os.environ.get("ASTC_BT_MS", "512"))
+    while bt > 128 and t * bt > 36 * 512:
+        bt //= 2
     while bt > 128 and n <= bt // 2:
         bt //= 2
     return bt

@@ -470,7 +470,10 @@ def _ms_call(weiT, wesT, mcutT, maxwqT, ceT, cfT, sfm, dit, dsq,
                                 memory_space=pltpu.VMEM)),
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            # Headroom above the 64M default scoped-vmem budget: the
+            # unrolled per-mode loop's live set varies with (T, W, S)
+            # in ways the BT cap only bounds approximately.
+            vmem_limit_bytes=96 * 1024 * 1024),
     )(weiT, wesT, mcutT, maxwqT, ceT, cfT, sfm, dit, dsq)
 
 
@@ -512,7 +515,7 @@ def mode_search(tables: MsTables, wei, wes, mcut, maxwq, comb_err,
     S = comb_err.shape[2]
     two = wei2 is not None
 
-    BT = ms_bt(N)
+    BT = ms_bt(N, T)
     pad = (-N) % BT
     def padded(x):
         return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1)) \
