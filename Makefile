@@ -63,3 +63,16 @@ quality:
 	    --ours results/astcenc_tpu_small_$${p}_results.csv \
 	    --ref $(REF)/Test/Images/Small/astc_reference-5.0-avx2_$${p}_results.csv \
 	    --tol 0.05 || exit 1; done
+
+# Past-thorough smoke (no committed reference CSVs exist for these): our
+# rows vs live reference-binary rows, 6x6 over a corpus subset.
+quality-vx:
+	$(PY) tools/quality_regression.py refrun --blocks 6x6 --limit 3 \
+	  --presets verythorough,exhaustive --out results/astcenc_ref_small
+	$(PY) tools/quality_regression.py run --blocks 6x6 --limit 3 \
+	  --presets verythorough,exhaustive --out results/astcenc_tpu_small
+	@for p in verythorough exhaustive; do \
+	  $(PY) tools/quality_regression.py gate \
+	    --ours results/astcenc_tpu_small_$${p}_results.csv \
+	    --ref results/astcenc_ref_small_$${p}_results.csv \
+	    --tol 0.05 || exit 1; done

@@ -430,7 +430,8 @@ def trial1_records(st, et: EncoderTables, cfg, profile: int,
 
     use_ms = (gather_ops._use_pallas()
               and gather_ops._kernel_enabled("msearch")
-              and T <= _KMAX_T and W <= 64)
+              and T <= _KMAX_T and W <= 64
+              and gather_ops.ms_feasible(T, len(quant_m)))
     if use_ms:
         # --- Fused Pallas trial front-end (see ops/msearch_pallas.py) -----
         # Decimated ideal weights, angular ranges, per-mode quantize +
@@ -1022,7 +1023,8 @@ def trial2_records(st, et: EncoderTables, cfg, profile: int,
 
     use_ms = (gather_ops._use_pallas()
               and gather_ops._kernel_enabled("msearch")
-              and T <= _KMAX_T and W <= 64)
+              and T <= _KMAX_T and W <= 64
+              and gather_ops.ms_feasible(T, len(quant_m)))
     if use_ms:
         # --- Fused Pallas trial front-end, both planes in one kernel ------
         # (see ops/msearch_pallas.py; the two=True layout carries plane-2

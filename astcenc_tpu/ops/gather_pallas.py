@@ -75,22 +75,36 @@ def kernel_bt() -> int:
     return int(os.environ.get("ASTC_BT", "128"))
 
 
-def ms_bt(n: int, t: int = 36) -> int:
-    """Lane-axis tile width for the mode-search kernel. Its working set is
-    (T, BT) planes plus per-mode scalar rows — at 6x6 (T=36) 512-lane
-    tiles fit VMEM, and the per-mode row arithmetic dominates, so wider
-    tiles run ~1.7x faster than 128 on v5e. The working set scales with
-    the texel count, though: at T=64 (8x8) a 512-lane tile overflows the
-    scoped-VMEM budget (Mosaic stack OOM, 69.4M vs 64M), so the width
-    halves as T grows — keep T*BT within the swept 6x6 envelope. Narrowed
-    for small batches so padding never exceeds ~2x the real lane count."""
+def ms_bt(n: int, t: int = 36, m: int = 56) -> int:
+    """Lane-axis tile width for the mode-search kernel. At 6x6 -medium
+    (T=36, 56 modes) 512-lane tiles fit VMEM and run ~1.7x faster than
+    128 on v5e, but the kernel's Mosaic stack scales with the unrolled
+    mode count times the (T, BT) plane size: measured OOMs at
+    8x8 -medium (109 modes, T=64, BT=512: 69M) and 8x8 -thorough
+    (~150 modes, T=64, BT=256: 97M), while 6x6 -thorough (124 modes,
+    T=36, BT=512 = 2.29e6) fits. The width halves until m*t*bt is
+    within that measured envelope (floor 128 = one lane tile). Narrowed
+    further for small batches so padding never exceeds ~2x the real
+    lane count. BT only tiles the block axis — results are identical at
+    any width."""
     import os
     bt = int(os.environ.get("ASTC_BT_MS", "512"))
-    while bt > 128 and t * bt > 36 * 512:
+    while bt > 128 and m * t * bt > 2_300_000:
         bt //= 2
     while bt > 128 and n <= bt // 2:
         bt //= 2
     return bt
+
+
+def ms_feasible(t: int, m: int) -> bool:
+    """Whether the unrolled mode-search kernel fits Mosaic's scoped-VMEM
+    stack at the narrowest tile (BT=128). Past this the per-mode live set
+    exceeds the budget no matter the width (measured blow-ups at
+    m*t*128 >~ 2.3e6: 12x12 -thorough at 282 modes, 6x6x6 at 435 modes),
+    so those configs run the XLA mode-search formulation instead — the
+    refine kernel family, whose cost does not scale with mode count,
+    still applies."""
+    return m * t * 128 <= 2_300_000
 
 
 def _pad_to(x, axis, mult, value=0):

@@ -515,7 +515,7 @@ def mode_search(tables: MsTables, wei, wes, mcut, maxwq, comb_err,
     S = comb_err.shape[2]
     two = wei2 is not None
 
-    BT = ms_bt(N, T)
+    BT = ms_bt(N, T, len(modes))
     pad = (-N) % BT
     def padded(x):
         return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1)) \
