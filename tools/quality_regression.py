@@ -163,15 +163,27 @@ def run(args):
                     img = np.asarray(Image.open(
                         os.path.join(args.images, name)).convert("RGBA"))
                     h, w = img.shape[:2]
-                    t0 = time.perf_counter()
-                    ctx, blob, enc_dt = encode_image(img, bx, by, preset)
-                    total_dt = time.perf_counter() - t0
-                    dec, how = decode_blob(ctx, blob, bx, by, w, h)
-                    psnr = metrics.psnr(img, dec)
+                    try:
+                        t0 = time.perf_counter()
+                        ctx, blob, enc_dt = encode_image(img, bx, by, preset)
+                        total_dt = time.perf_counter() - t0
+                        dec, how = decode_blob(ctx, blob, bx, by, w, h)
+                        psnr = metrics.psnr(img, dec)
+                    except Exception as e:  # noqa: BLE001 - keep the run
+                        # Loud failure row (PSNR -1 always trips the gate)
+                        # instead of killing the remaining configs.
+                        print(f"{preset} {bx}x{by} {name}: FAILED "
+                              f"{type(e).__name__}: {str(e)[:200]}",
+                              flush=True)
+                        wr.writerow([args.set_name, f"{bx}x{by}", name,
+                                     "-1.0", "0", "0", "0"])
+                        f.flush()
+                        continue
                     rate = w * h / enc_dt / 1e6
                     wr.writerow([args.set_name, f"{bx}x{by}", name,
                                  f"{psnr:.4f}", f"{total_dt:.4f}",
                                  f"{enc_dt:.4f}", f"{rate:.4f}"])
+                    f.flush()
                     print(f"{preset} {bx}x{by} {name}: {psnr:.4f} dB "
                           f"({rate:.2f} MT/s, decode={how})", flush=True)
         print("wrote", path)
